@@ -110,11 +110,13 @@ class GRU(nn.Module):
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
+    dropout_rate: float = 0.0  # between layers, like torch.nn.GRU(dropout=)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 initial_hidden: Optional[jnp.ndarray] = None):
+                 initial_hidden: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
         batch = x.shape[0]
         h = self.hidden_size
         n_dir = 2 if self.bidirectional else 1
@@ -123,6 +125,9 @@ class GRU(nn.Module):
         layer_in = x.astype(self.dtype)
         last_hiddens = []
         for layer in range(self.num_layers):
+            if layer > 0 and self.dropout_rate > 0.0:
+                layer_in = nn.Dropout(self.dropout_rate)(
+                    layer_in, deterministic=deterministic)
             in_dim = layer_in.shape[-1]
             suffix = f"_l{layer}"
             w_ih = self.param(f"w_ih{suffix}", init, (3 * h, in_dim))
