@@ -1,0 +1,171 @@
+"""Compact BERT-style transformer encoder (the frozen LLM backbone).
+
+Counterpart of the reference's HuggingFace BertModel with
+num_hidden_layers=6, used frozen (reference run_ted.py:176-212, HOP.py:90-91,
+204). Rewritten in flax rather than wrapping HF so that:
+
+  * the whole forward lives in one jit region (the reference re-enters
+    Python per module);
+  * the big kernels carry jax.sharding partitioning metadata: QKV/out
+    projections and the FFN are annotated for tensor parallelism over a
+    'model' mesh axis, which is what makes the optional LLaMA-7B-sized
+    backbone (run_ted.py:133-175) feasible on a TPU slice;
+  * weights can be loaded from an HF checkpoint via
+    `convert_hf_bert_params` when one is available locally.
+
+Semantics match BertModel(inputs_embeds=...): position + token-type
+embeddings are added to the provided embeddings, then LayerNorm + dropout,
+then post-LN encoder blocks with GELU FFN. No attention mask (the reference
+never passes one).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hop_tpu.config import LLMConfig
+
+
+def _col(init):
+    """Column-parallel kernel: shard output features over 'model'."""
+    return nn.with_partitioning(init, (None, "model"))
+
+
+def _row(init):
+    """Row-parallel kernel: shard input features over 'model'."""
+    return nn.with_partitioning(init, ("model", None))
+
+
+class BertSelfAttention(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        cfg = self.cfg
+        head_dim = cfg.dim // cfg.n_heads
+        dense_init = nn.initializers.normal(0.02)
+        q = nn.Dense(cfg.dim, kernel_init=_col(dense_init), name="query")(x)
+        k = nn.Dense(cfg.dim, kernel_init=_col(dense_init), name="key")(x)
+        v = nn.Dense(cfg.dim, kernel_init=_col(dense_init), name="value")(x)
+        B, T, _ = x.shape
+        q = q.reshape(B, T, cfg.n_heads, head_dim)
+        k = k.reshape(B, T, cfg.n_heads, head_dim)
+        v = v.reshape(B, T, cfg.n_heads, head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (head_dim ** 0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(0.1)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, cfg.dim)
+        out = nn.Dense(cfg.dim, kernel_init=_row(dense_init), name="out")(ctx)
+        return out
+
+
+class BertLayer(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        cfg = self.cfg
+        dense_init = nn.initializers.normal(0.02)
+        attn = BertSelfAttention(cfg, name="attention")(x, deterministic)
+        attn = nn.Dropout(0.1)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                         name="attention_ln")(x + attn)
+        h = nn.Dense(cfg.intermediate_dim, kernel_init=_col(dense_init),
+                     name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.dim, kernel_init=_row(dense_init), name="output")(h)
+        h = nn.Dropout(0.1)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                            name="output_ln")(x + h)
+
+
+class BertEncoder(nn.Module):
+    """Embeddings + encoder stack; accepts token ids or raw embeddings."""
+
+    cfg: LLMConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.word_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.dim,
+            embedding_init=nn.initializers.normal(0.02),
+            name="word_embeddings")
+        self.position_embeddings = nn.Embed(
+            cfg.max_position, cfg.dim,
+            embedding_init=nn.initializers.normal(0.02),
+            name="position_embeddings")
+        self.token_type_embeddings = nn.Embed(
+            cfg.type_vocab_size, cfg.dim,
+            embedding_init=nn.initializers.normal(0.02),
+            name="token_type_embeddings")
+        self.embed_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps)
+        self.embed_dropout = nn.Dropout(0.1)
+        self.layers = [BertLayer(cfg, name=f"layer_{i}")
+                       for i in range(cfg.n_layers)]
+
+    def embed_tokens(self, token_ids: jnp.ndarray) -> jnp.ndarray:
+        """get_input_embeddings()(ids) — the word table only (HOP.py:198)."""
+        return self.word_embeddings(token_ids)
+
+    def __call__(self, inputs_embeds: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        B, T, _ = inputs_embeds.shape
+        pos = self.position_embeddings(jnp.arange(T))
+        typ = self.token_type_embeddings(jnp.zeros((T,), jnp.int32))
+        x = inputs_embeds + pos[None] + typ[None]
+        x = self.embed_ln(x)
+        x = self.embed_dropout(x, deterministic=deterministic)
+        for layer in self.layers:
+            x = layer(x, deterministic)
+        return x
+
+    def encode_tokens(self, token_ids: jnp.ndarray,
+                      deterministic: bool = True) -> jnp.ndarray:
+        return self(self.embed_tokens(token_ids), deterministic)
+
+
+def convert_hf_bert_params(hf_state_dict: dict, cfg: LLMConfig) -> dict:
+    """Map a HuggingFace BertModel state_dict onto BertEncoder params."""
+    import numpy as np
+
+    def t(name):
+        return np.asarray(hf_state_dict[name])
+
+    params = {
+        "word_embeddings": {
+            "embedding": t("embeddings.word_embeddings.weight")},
+        "position_embeddings": {
+            "embedding": t("embeddings.position_embeddings.weight")[:cfg.max_position]},
+        "token_type_embeddings": {
+            "embedding": t("embeddings.token_type_embeddings.weight")},
+        "embed_ln": {"scale": t("embeddings.LayerNorm.weight"),
+                     "bias": t("embeddings.LayerNorm.bias")},
+    }
+    for i in range(cfg.n_layers):
+        p = f"encoder.layer.{i}."
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": {"kernel": t(p + "attention.self.query.weight").T,
+                          "bias": t(p + "attention.self.query.bias")},
+                "key": {"kernel": t(p + "attention.self.key.weight").T,
+                        "bias": t(p + "attention.self.key.bias")},
+                "value": {"kernel": t(p + "attention.self.value.weight").T,
+                          "bias": t(p + "attention.self.value.bias")},
+                "out": {"kernel": t(p + "attention.output.dense.weight").T,
+                        "bias": t(p + "attention.output.dense.bias")},
+            },
+            "attention_ln": {
+                "scale": t(p + "attention.output.LayerNorm.weight"),
+                "bias": t(p + "attention.output.LayerNorm.bias")},
+            "intermediate": {"kernel": t(p + "intermediate.dense.weight").T,
+                             "bias": t(p + "intermediate.dense.bias")},
+            "output": {"kernel": t(p + "output.dense.weight").T,
+                       "bias": t(p + "output.dense.bias")},
+            "output_ln": {"scale": t(p + "output.LayerNorm.weight"),
+                          "bias": t(p + "output.LayerNorm.bias")},
+        }
+    return params

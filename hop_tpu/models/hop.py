@@ -1,0 +1,155 @@
+"""HOP generator: frozen LLM + reprogramming + graph-wavenet + BiGRU head.
+
+Counterpart of reference model/HOP.py:72-252 (Model.__init__/forecast).
+Inputs for the TED config:
+
+  in_audio (B, 36267) raw waveform
+  x_enc    (B, 34, 128) per-sample log-mel (hop 1096)
+  text     (B, 34) frame-aligned token ids — NOTE: the reference's live path
+           feeds the fasttext-vocab indices (in_text_padded) here, not the HF
+           tokenizer ids (run_ted.py:400 -> train_llm.py:17); we reproduce
+           that, the id stream is the caller's choice
+  pre_seq  (B, 16, pose_dim) seed dir-vec frames
+  vid      (B,) speaker indices
+
+Output: (B, 34, pose_dim) dir-vecs plus the speaker latent (z, mu, logvar).
+
+TPU-native deviations (bit-identical outputs, cheaper):
+  * the reference repeats the 16 audio windows across all N joints and runs
+    the beat MLP on the repeated tensor (HOP.py:210-212); we run it once per
+    window and index — the subsequent `.view(B, 16, N, 170)` in torch is a
+    raw memory reinterpretation whose effect is beat_in[b,t,n] =
+    beat_feat[b, (t*N + n) % 16], which we apply as a static gather;
+  * gwnet's output reinterpretations (HOP.py:221-229) are kept as the same
+    row-major reshapes on a (B, C, N, T)-ordered array.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hop_tpu.config import Config
+from hop_tpu.models import common
+from hop_tpu.models.bert import BertEncoder
+from hop_tpu.models.gwnet import GraphWaveNet
+from hop_tpu.models.reprogramming import ReprogrammingLayer, PrototypeMapper
+
+
+class HOPModel(nn.Module):
+    cfg: Config
+    n_speakers: int
+
+    def setup(self):
+        cfg = self.cfg
+        hop = cfg.hop
+        self.llm = BertEncoder(cfg.llm, name="llm")
+        self.speaker = common.SpeakerLatent(self.n_speakers, hop.z_size)
+        if hop.use_reprogramming:
+            self.mapping_layer = PrototypeMapper(hop.num_prototype_tokens)
+            self.reprogramming_layer = ReprogrammingLayer(
+                d_model=hop.d_model, n_heads=hop.n_heads, d_keys=hop.d_ff,
+                d_llm=cfg.llm.dim)
+            self.align_layer = nn.Dense(cfg.llm.dim)
+        if hop.use_gwnet:
+            self.beat_fc1 = nn.Dense(hop.beat_window // 2)
+            self.beat_fc2 = nn.Dense(hop.beat_feat)
+            self.gwnet = GraphWaveNet(
+                num_nodes=cfg.data.n_joints_graph,
+                in_dim=3 + hop.beat_feat,
+                out_dim=3 + hop.beat_feat,
+                residual_channels=hop.gwnet_residual,
+                dilation_channels=hop.gwnet_dilation,
+                skip_channels=hop.gwnet_skip,
+                end_channels=hop.gwnet_end,
+                blocks=hop.gwnet_blocks,
+                layers=hop.gwnet_layers,
+                node_emb_dim=hop.gwnet_node_emb,
+                gcn_order=hop.gwnet_order)
+        else:
+            self.audio_encoder = common.WavEncoder()
+        from hop_tpu.ops.gru import GRU
+        self.gru = GRU(hop.hidden_size, hop.gru_layers, bidirectional=True)
+        self.out_fc1 = nn.Dense(hop.hidden_size // 2)
+        self.out_fc2 = nn.Dense(cfg.data.pose_dim)
+
+    def _beat_features(self, in_audio: jnp.ndarray, num_joints: int,
+                       n_poses: int) -> jnp.ndarray:
+        """(B, samples) -> (B, 16, N, beat_feat) with the reference's
+        view-scramble reproduced as a gather."""
+        hop_cfg = self.cfg.hop
+        win, stride = hop_cfg.beat_window, hop_cfg.beat_stride
+        n_win = (in_audio.shape[1] - win) // stride + 1  # 16 for 36267
+        idx = (jnp.arange(n_win)[:, None] * stride + jnp.arange(win)[None, :])
+        windows = in_audio[:, idx]                        # (B, 16, 3400)
+        feat = common.leaky_relu(self.beat_fc1(windows), 0.2)
+        feat = self.beat_fc2(feat)                        # (B, 16, 170)
+        flat = jnp.arange(n_win * num_joints) % n_win     # (t*N+n) % 16
+        gathered = feat[:, flat]                          # (B, 16*N, 170)
+        return gathered.reshape(feat.shape[0], n_win, num_joints, -1)
+
+    def __call__(self, in_audio: jnp.ndarray, x_enc: jnp.ndarray,
+                 text: jnp.ndarray, pre_seq: jnp.ndarray,
+                 vid_indices: Optional[jnp.ndarray] = None,
+                 *, rng: Optional[jax.Array] = None, train: bool = False):
+        cfg = self.cfg
+        n_poses = cfg.data.n_poses
+        num_joints = cfg.data.n_joints_graph
+        B = in_audio.shape[0]
+
+        z_context, z_mu, z_logvar = self.speaker(vid_indices, rng)
+
+        text_embeddings = self.llm.embed_tokens(text.astype(jnp.int32))
+        if cfg.hop.use_reprogramming:
+            word_emb = self.llm.word_embeddings.embedding
+            # frozen table; no grads flow into the LLM anyway, but make the
+            # intent explicit (HOP.py:90-91)
+            source = self.mapping_layer(jax.lax.stop_gradient(word_emb))
+            enc_out = self.reprogramming_layer(
+                x_enc, source, source, deterministic=not train)
+            llm_in = jnp.concatenate([enc_out, text_embeddings], axis=-1)
+            llm_in = self.align_layer(llm_in)
+            dec_out = self.llm(llm_in, deterministic=not train)
+        else:
+            dec_out = self.llm(text_embeddings, deterministic=not train)
+
+        if cfg.hop.use_gwnet:
+            beat_in = self._beat_features(in_audio, num_joints, n_poses)
+            seed = pre_seq.reshape(B, pre_seq.shape[1], num_joints, 3)
+            gw_in = jnp.concatenate([seed, beat_in], axis=-1)  # (B,16,N,173)
+            feature = self.gwnet(gw_in, train=train)           # (B,4,N,173)
+            # to the torch (B, C, N, T) memory order for the reference's
+            # raw-reshape semantics (HOP.py:221-229)
+            feat_cnt = jnp.transpose(feature, (0, 3, 2, 1))
+            g_seq = feat_cnt[:, :3]                            # (B,3,N,T)
+            beat = feat_cnt[:, 3:]                             # (B,170,N,T)
+            beat = beat.reshape(B, n_poses, -1)                # (B,34,180)
+            g_seq = g_seq.reshape(B, 3 * num_joints, -1)       # (B,3N,T)
+            g_seq = jnp.transpose(g_seq, (0, 2, 1))            # (B,T,3N)
+            t_out = g_seq.shape[1]
+            pre_padded = jnp.zeros((B, n_poses, g_seq.shape[2] + 1))
+            pre_padded = pre_padded.at[:, :t_out, :-1].set(g_seq)
+            pre_padded = pre_padded.at[:, :t_out, -1].set(1.0)
+            dec_out = jnp.concatenate([pre_padded, beat, dec_out], axis=-1)
+        else:
+            ges = jnp.zeros((B, n_poses, pre_seq.shape[2] + 1))
+            ges = ges.at[:, :pre_seq.shape[1], :-1].set(pre_seq)
+            ges = ges.at[:, :pre_seq.shape[1], -1].set(1.0)
+            audio_feat = self.audio_encoder(in_audio, train)
+            dec_out = jnp.concatenate([ges, audio_feat, dec_out], axis=-1)
+
+        if z_context is not None:
+            rep = jnp.broadcast_to(z_context[:, None, :],
+                                   (B, n_poses, z_context.shape[-1]))
+            dec_out = jnp.concatenate([dec_out, rep], axis=-1)
+
+        out, _ = self.gru(dec_out.astype(jnp.float32))
+        h = self.cfg.hop.hidden_size
+        out = out[..., :h] + out[..., h:]
+        out = self.out_fc1(out)
+        out = common.leaky_relu(out, common.IDENTITY_SLOPE)
+        out = self.out_fc2(out)
+        return out, z_context, z_mu, z_logvar
