@@ -1,0 +1,171 @@
+"""HOP train step (the reference's train_llm loop, train_eval/train_llm.py).
+
+Two jit-compiled variants sharing one loss core:
+
+  * warmup_step — epochs <= warmup (reference gate `epoch > 10`,
+    train_llm.py:15,81): generator-only update, no discriminator.
+  * gan_step — adds the ns-GAN discriminator update before the generator
+    update and the adversarial term to the generator loss.
+
+Faithful structure per step in the GAN phase (train_llm.py:15-86):
+three full generator forwards (D-phase sample, G-phase sample, random-video
+sample for the diversity regulariser) and three discriminator forwards.
+BatchNorm statistics chain through the forwards in the reference's order.
+All randomness (speaker reparameterisation, target/output noise, random
+video permutation, dropout) is threaded from one per-step PRNG key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hop_tpu.config import Config
+from hop_tpu.models.common import huber, kld_loss
+from hop_tpu.train.state import GANTrainState, adam, adam_with_frozen
+
+
+def _gen_apply(model, params, stats, batch, rng, vids, train=True):
+    rng_z, rng_drop = jax.random.split(rng)
+    variables = {"params": params, "batch_stats": stats}
+    (out, z, mu, logvar), updates = model.apply(
+        variables,
+        batch["in_audio"], batch["log_mel"], batch["text_padded"],
+        batch["target_vec"][:, :16], vids,
+        rng=rng_z, train=train,
+        rngs={"dropout": rng_drop},
+        mutable=["batch_stats"])
+    return (out, z, mu, logvar), updates["batch_stats"]
+
+
+def _dis_apply(model, params, stats, poses, text, rng, train=True):
+    variables = {"params": params, "batch_stats": stats}
+    score, updates = model.apply(
+        variables, poses, text, train,
+        rngs={"dropout": rng},
+        mutable=["batch_stats"])
+    return score, updates["batch_stats"]
+
+
+def make_hop_train_steps(cfg: Config, model, discriminator):
+    """Returns (warmup_step, gan_step, init_state_fn)."""
+    loss_cfg = cfg.loss
+    gen_tx_holder = {}
+
+    def init_state(gen_vars, dis_vars) -> GANTrainState:
+        gen_tx = adam_with_frozen(cfg.train.learning_rate, gen_vars["params"],
+                                  cfg.train.betas)
+        dis_tx = adam(cfg.train.learning_rate * cfg.train.dis_lr_scale,
+                      cfg.train.betas)
+        gen_tx_holder["gen"] = gen_tx
+        gen_tx_holder["dis"] = dis_tx
+        return GANTrainState.create(gen_vars, dis_vars, gen_tx, dis_tx)
+
+    def gen_loss(gen_params, gen_stats, dis_params, dis_stats, batch, rng,
+                 use_gan: bool):
+        rng_fwd, rng_perm, rng_rand, rng_dis = jax.random.split(rng, 4)
+        target = batch["target_vec"]
+        vids = batch["vid_indices"]
+
+        (out, z, mu, logvar), gen_stats = _gen_apply(
+            model, gen_params, gen_stats, batch, rng_fwd, vids)
+
+        h = huber(out, target, loss_cfg.huber_beta)
+
+        # diversity regulariser: divergent outputs for shuffled speakers
+        # (train_llm.py:50-69)
+        rand_vids = jax.random.permutation(rng_perm, vids)
+        (out_rand, z_rand, _, _), gen_stats = _gen_apply(
+            model, gen_params, gen_stats, batch, rng_rand, rand_vids)
+        beta = loss_cfg.div_beta
+        d = jnp.abs(out - jax.lax.stop_gradient(out_rand)) / beta
+        pose_l1 = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5) * beta
+        pose_l1 = pose_l1.sum(axis=(1, 2))
+        z_l1 = jnp.mean(jnp.abs(jax.lax.stop_gradient(z)
+                                - jax.lax.stop_gradient(z_rand)), axis=-1)
+        div_reg = -(pose_l1 / (z_l1 + 1e-5))
+        div_reg = jnp.clip(div_reg, loss_cfg.div_clamp, None).mean()
+
+        kld = kld_loss(mu, logvar)
+
+        loss = (h * loss_cfg.regression_weight
+                + div_reg * loss_cfg.reg_weight
+                + kld * loss_cfg.kld_weight)
+        metrics = {"loss": h * loss_cfg.regression_weight,
+                   "KLD": kld * loss_cfg.kld_weight,
+                   "DIV_REG": div_reg * loss_cfg.reg_weight}
+
+        new_dis_stats = dis_stats
+        if use_gan:
+            dis_out, new_dis_stats = _dis_apply(
+                discriminator, dis_params, dis_stats, out,
+                batch["text_padded"], rng_dis)
+            gen_error = -jnp.mean(jnp.log(dis_out + 1e-8))
+            loss = loss + gen_error * loss_cfg.gan_weight
+            metrics["gen"] = gen_error * loss_cfg.gan_weight
+
+        return loss, (gen_stats, new_dis_stats, metrics)
+
+    def dis_loss(dis_params, dis_stats, fake, target, text, rng):
+        rng_nt, rng_nf, rng_d1, rng_d2 = jax.random.split(rng, 4)
+        # use_noisy_target=True (train_llm.py:13,22-26)
+        noisy_target = target + 0.1 * jax.random.normal(rng_nt, target.shape)
+        noisy_fake = fake + 0.1 * jax.random.normal(rng_nf, fake.shape)
+        dis_real, dis_stats = _dis_apply(discriminator, dis_params, dis_stats,
+                                         noisy_target, text, rng_d1)
+        dis_fake, dis_stats = _dis_apply(discriminator, dis_params, dis_stats,
+                                         noisy_fake, text, rng_d2)
+        err = -jnp.mean(jnp.log(dis_real + 1e-8)
+                        + jnp.log(1.0 - dis_fake + 1e-8))
+        return err, dis_stats
+
+    def _gen_update(state: GANTrainState, batch, rng, use_gan: bool):
+        grad_fn = jax.value_and_grad(gen_loss, has_aux=True)
+        (loss, (gen_stats, dis_stats, metrics)), grads = grad_fn(
+            state.gen_params, state.gen_stats, state.dis_params,
+            state.dis_stats, batch, rng, use_gan)
+        updates, opt_state = gen_tx_holder["gen"].update(
+            grads, state.gen_opt_state, state.gen_params)
+        return state.replace(
+            step=state.step + 1,
+            gen_params=optax.apply_updates(state.gen_params, updates),
+            gen_stats=gen_stats,
+            gen_opt_state=opt_state,
+            dis_stats=dis_stats,
+        ), metrics
+
+    @jax.jit
+    def warmup_step(state: GANTrainState, batch, rng):
+        return _gen_update(state, batch, rng, use_gan=False)
+
+    @jax.jit
+    def gan_step(state: GANTrainState, batch, rng):
+        rng_d_fwd, rng_d, rng_g = jax.random.split(rng, 3)
+
+        # --- D phase: extra generator forward, detached (train_llm.py:15-36)
+        (fake, *_), gen_stats = _gen_apply(
+            model, state.gen_params, state.gen_stats, batch, rng_d_fwd,
+            batch["vid_indices"])
+        fake = jax.lax.stop_gradient(fake)
+        grad_fn = jax.value_and_grad(dis_loss, has_aux=True)
+        (dis_err, dis_stats), dgrads = grad_fn(
+            state.dis_params, state.dis_stats, fake, batch["target_vec"],
+            batch["text_padded"], rng_d)
+        dupdates, dis_opt_state = gen_tx_holder["dis"].update(
+            dgrads, state.dis_opt_state, state.dis_params)
+        state = state.replace(
+            gen_stats=gen_stats,
+            dis_params=optax.apply_updates(state.dis_params, dupdates),
+            dis_stats=dis_stats,
+            dis_opt_state=dis_opt_state)
+
+        # --- G phase against the freshly updated discriminator
+        state, metrics = _gen_update(state, batch, rng_g, use_gan=True)
+        metrics["dis"] = dis_err
+        return state, metrics
+
+    return warmup_step, gan_step, init_state
