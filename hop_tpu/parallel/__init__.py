@@ -1,0 +1,4 @@
+"""jax.sharding mesh utilities: data/tensor-parallel placement."""
+
+from hop_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh, batch_sharding, state_shardings, shard_batch, shard_state)

@@ -1,0 +1,81 @@
+"""Device mesh construction and sharding placement.
+
+The reference scales with HF Accelerate DDP + DeepSpeed ZeRO-2 over NCCL
+(reference run_ted.py:110-112,363-364); the TPU-native equivalent is a
+jax.sharding.Mesh with a 'data' axis (batch sharded over ICI, gradients
+all-reduced by XLA-inserted psums inside the jitted train step) and an
+optional 'model' axis for tensor-parallel placement of the frozen LLM
+backbone (its QKV/FFN kernels carry PartitionSpecs via nn.with_partitioning,
+see models/bert.py). No explicit collectives appear in model code — layouts
+are declared, XLA chooses the ICI collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import flax.linen as nn
+from flax.core import meta as flax_meta
+
+
+def create_mesh(n_data: int | None = None, n_model: int = 1,
+                devices=None) -> Mesh:
+    """(data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _leaf_spec(leaf: Any) -> P:
+    if isinstance(leaf, flax_meta.Partitioned):
+        return P(*leaf.names)
+    return P()
+
+
+def state_shardings(state: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree for a train state / variable tree.
+
+    Parameters annotated with nn.with_partitioning keep their axes (mapped
+    onto the mesh's 'model' axis); everything else — optimizer moments for
+    unannotated params, batch stats, step counters — is replicated.
+
+    Note: flax boxes annotated params as meta.Partitioned, which is itself a
+    pytree node; tree_map with is_leaf picks the box so the annotation is
+    visible here, and the returned tree matches the *unboxed* leaf layout.
+    """
+    def to_sharding(leaf):
+        return NamedSharding(mesh, _leaf_spec(leaf))
+
+    return jax.tree_util.tree_map(
+        to_sharding, state,
+        is_leaf=lambda x: isinstance(x, flax_meta.Partitioned))
+
+
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    """Place a state tree on the mesh per its annotations."""
+    def place(leaf):
+        if isinstance(leaf, flax_meta.Partitioned):
+            sh = NamedSharding(mesh, P(*leaf.names))
+            return leaf.replace_boxed(jax.device_put(leaf.unbox(), sh))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(
+        place, state,
+        is_leaf=lambda x: isinstance(x, flax_meta.Partitioned))
