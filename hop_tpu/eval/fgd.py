@@ -1,0 +1,89 @@
+"""Embedding-space evaluator: FGD / feature distance / diversity, on device.
+
+Counterpart of reference model/EmbeddingSpaceEvaluator.py:387-594. The
+frozen feature network is EmbeddingNet(mode='pose') for pose_dim 27 (TED) or
+MotionAE for pose_dim 126 (expressive); features are accumulated on device
+and the Fréchet distance uses the eigh-based sqrtm (ops/sqrtm.py), so
+nothing round-trips through the host until the final scalar.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hop_tpu.ops.sqrtm import frechet_distance
+
+
+class EmbeddingSpaceEvaluator:
+    """Accumulates real/generated features; scores FGD + diversity."""
+
+    def __init__(self, feature_fn, n_pre_poses: int = 4):
+        """feature_fn(poses) -> (recon, features): jitted frozen net apply."""
+        self._feature_fn = jax.jit(feature_fn)
+        self.n_pre_poses = n_pre_poses
+        self.reset()
+
+    def reset(self):
+        self._real_feats = []
+        self._gen_feats = []
+        self._recon_err_diff = []
+
+    @property
+    def n_samples(self) -> int:
+        return sum(f.shape[0] for f in self._real_feats)
+
+    def push_samples(self, generated_poses: jnp.ndarray,
+                     real_poses: jnp.ndarray):
+        real_recon, real_feat = self._feature_fn(real_poses)
+        gen_recon, gen_feat = self._feature_fn(generated_poses)
+        self._real_feats.append(real_feat)
+        self._gen_feats.append(gen_feat)
+        err_real = jnp.mean(jnp.abs(real_poses - real_recon))
+        err_fake = jnp.mean(jnp.abs(generated_poses - gen_recon))
+        self._recon_err_diff.append(err_fake - err_real)
+
+    def get_scores(self):
+        """(frechet_dist, feat_dist) — reference :510-539."""
+        gen = jnp.concatenate(self._gen_feats, axis=0)
+        real = jnp.concatenate(self._real_feats, axis=0)
+        mu_g, mu_r = jnp.mean(gen, axis=0), jnp.mean(real, axis=0)
+        # np.cov(rowvar=False) normalises by N-1
+        def cov(x, mu):
+            xc = x - mu
+            return xc.T @ xc / (x.shape[0] - 1)
+        fd = frechet_distance(mu_g, cov(gen, mu_g), mu_r, cov(real, mu_r))
+        feat_dist = jnp.mean(jnp.sum(jnp.abs(real - gen), axis=-1))
+        return float(fd), float(feat_dist)
+
+    def get_diversity_scores(self, rng: Optional[np.random.Generator] = None,
+                             n: int = 500):
+        """Mean feature L1 between the first n generated windows and a
+        random shuffle of them (reference :498-508)."""
+        gen = jnp.concatenate(self._gen_feats, axis=0)
+        feat1 = gen[:n]
+        rng = rng or np.random.default_rng(0)
+        perm = rng.permutation(gen.shape[0])[: feat1.shape[0]]
+        feat2 = gen[jnp.asarray(perm)]
+        return float(jnp.mean(jnp.sum(jnp.abs(feat1 - feat2), axis=-1)))
+
+
+def make_ted_feature_fn(net, variables):
+    """EmbeddingNet(mode='pose'): features = pose encoder latent."""
+    def fn(poses):
+        _, _, _, feat, _, _, recon = net.apply(
+            variables, None, None, poses[:, :4], poses,
+            input_mode="pose", variational=False, train=False)
+        return recon, feat
+    return fn
+
+
+def make_expressive_feature_fn(net, variables):
+    """MotionAE: features = encoder latent."""
+    def fn(poses):
+        recon, feat = net.apply(variables, poses, train=False)
+        return recon, feat
+    return fn
