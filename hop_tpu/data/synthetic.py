@@ -86,6 +86,65 @@ def make_batch(cfg: Config, batch_size: int, seed: int = 0,
     }
 
 
+_WORDS = ("the quick brown fox jumps over a lazy dog while people "
+          "talk about ideas and wave their hands in the air").split()
+
+
+def make_source_clips(cfg: Config, n_videos: int = 2, clips_per_video: int = 1,
+                      clip_seconds: float = 12.0, seed: int = 0):
+    """Synthetic source clips for the offline preprocessor: plausible
+    skeleton walks anchored near the dataset mean pose (so the motion
+    filters pass), tones+noise audio, and timed word lists."""
+    from hop_tpu.data.preprocessor import SourceClip
+    from hop_tpu.ops import mel as mel_ops
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    skel = cfg.data.skeleton
+    sr = cfg.data.sample_rate
+    native_fps = 25
+    videos = []
+    mean_pose = (skel.mean_pose.reshape(-1, 3)
+                 if skel.mean_pose is not None
+                 else np.zeros((skel.n_joints, 3), np.float32))
+    for v in range(n_videos):
+        clips = []
+        for c in range(clips_per_video):
+            n_frames = int(clip_seconds * native_fps)
+            # mean-reverting wander so the spine stays upright (the motion
+            # filters must pass): x_{t+1} = 0.95 x_t + noise
+            walk = np.zeros((n_frames, skel.n_joints, 3))
+            x = np.zeros((skel.n_joints, 3))
+            for tt in range(n_frames):
+                x = 0.95 * x + rng.standard_normal((skel.n_joints, 3)) * 0.02
+                walk[tt] = x
+            walk[:, :2] *= 0.05  # keep root + neck nearly still
+            skeletons = mean_pose[None] + walk
+            audio = 0.01 * rng.standard_normal(int(clip_seconds * sr))
+            t = np.arange(audio.size) / sr
+            audio += 0.2 * np.sin(2 * np.pi * rng.uniform(100, 500) * t)
+            spec = np.asarray(mel_ops.extract_melspectrogram(
+                jnp.asarray(audio.astype(np.float32)), sr=sr))
+            words = []
+            wt = 0.2
+            while wt < clip_seconds - 0.4:
+                dur = rng.uniform(0.15, 0.5)
+                words.append((_WORDS[rng.integers(len(_WORDS))], wt, wt + dur))
+                wt += dur + rng.uniform(0.02, 0.2)
+            clips.append(SourceClip(
+                vid=f"vid{v}",
+                skeletons_3d=skeletons.astype(np.float32),
+                audio_raw=audio.astype(np.float32),
+                audio_spectrogram=spec.astype(np.float32),
+                words=words,
+                start_frame_no=0,
+                end_frame_no=n_frames,
+                start_time=0.0,
+                end_time=clip_seconds))
+        videos.append((f"vid{v}", clips))
+    return videos
+
+
 def add_device_features(batch: dict, cfg: Config) -> dict:
     """Attach the on-device-computable features (log-mel, cache spectrogram).
 

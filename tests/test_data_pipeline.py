@@ -1,0 +1,124 @@
+"""Offline preprocessing -> record store -> dataset batches."""
+
+import numpy as np
+import pytest
+
+from hop_tpu import geometry as G
+from hop_tpu.config import ted_config
+from hop_tpu.data import synthetic
+from hop_tpu.data.dataset import SpeechMotionDataset
+from hop_tpu.data.preprocessor import (DataPreprocessor, MotionFilter,
+                                       get_words_in_time_range,
+                                       calculate_data_mean)
+from hop_tpu.data.records import RecordReader, RecordWriter, schema_for
+from hop_tpu.data.vocab import Vocab, build_vocab
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    cfg = ted_config()
+    path = str(tmp_path_factory.mktemp("records") / "train")
+    videos = synthetic.make_source_clips(cfg, n_videos=2, clip_seconds=12.0)
+    pre = DataPreprocessor(cfg.data, path)
+    n = pre.run(videos)
+    return cfg, path, n
+
+
+def test_preprocessor_produces_samples(store):
+    cfg, path, n = store
+    assert n > 0
+    schema = schema_for(34, 15, 10, 9)
+    reader = RecordReader(path, schema, use_native=False)
+    assert len(reader) == n
+    rec, aux = reader[0]
+    assert rec["pose_seq"].shape == (42, 10, 3)   # extended window
+    assert rec["vec_seq"].shape == (42, 9, 3)
+    assert rec["audio"].shape == (44800,)
+    assert aux["vid"].startswith("vid")
+    assert len(aux["words"]) >= 2
+    # dir-vecs are mean-centred unit vectors
+    v = rec["vec_seq"] + G.TED_MEAN_DIR_VEC.reshape(-1, 3)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-4)
+
+
+def test_record_roundtrip(tmp_path, rng):
+    schema = schema_for(34, 15, 10, 9)
+    path = str(tmp_path / "rt")
+    samples = []
+    with RecordWriter(path, schema) as w:
+        for i in range(5):
+            s = {name: rng.normal(size=shape).astype(dt)
+                 for name, shape, dt in schema.fields()}
+            w.append(s["pose_seq"], s["vec_seq"], s["audio"],
+                     s["spectrogram"], {"vid": f"v{i}", "words": [],
+                                        "start_time": 0.0, "end_time": 1.0,
+                                        "start_frame_no": 0,
+                                        "end_frame_no": 42})
+            samples.append(s)
+    r = RecordReader(path, schema, use_native=False)
+    assert len(r) == 5
+    for i in (0, 3, 4):
+        rec, aux = r[i]
+        for name in rec:
+            np.testing.assert_array_equal(rec[name], samples[i][name])
+        assert aux["vid"] == f"v{i}"
+    batch = r.gather(np.array([1, 4, 2]))
+    np.testing.assert_array_equal(batch["audio"][0], samples[1]["audio"])
+    np.testing.assert_array_equal(batch["vec_seq"][2], samples[2]["vec_seq"])
+
+
+def test_motion_filter_rules():
+    skel = G.TED_SKELETON
+    f = MotionFilter(G.TED_MEAN_POSE, skel)
+    frames = np.tile(G.TED_MEAN_POSE.reshape(1, 10, 3), (42, 1, 1))
+    assert f(frames) == "pose"  # too close to mean
+    lively = frames + np.random.default_rng(0).normal(0, 0.2, frames.shape)
+    verdict = f(lively)
+    assert verdict in ("PASS", "spine angle")  # random spine may tilt
+    static = frames + 0.5  # far from mean but zero variance
+    static[:, 1] = static[:, 0] + np.array([0, -1, 0.0])  # upright spine
+    assert f(static) == "motion"
+
+
+def test_words_in_time_range():
+    words = [("a", 0.0, 1.0), ("b", 1.5, 2.0), ("c", 3.0, 4.0)]
+    out = get_words_in_time_range(words, 0.5, 3.0)
+    assert [w[0] for w in out] == ["a", "b"]
+
+
+def test_vocab_and_build():
+    v = Vocab("words")
+    v.add_vocab(["hello", "world", "hello"])
+    assert v.get_word_index("hello") == 4
+    assert v.get_word_index("missing") == Vocab.UNK_token
+    assert v.word2count["hello"] == 2
+    v2 = build_vocab("w", [[("x", 0, 1), ("y", 1, 2)]], None, None, 8)
+    assert v2.word_embedding_weights.shape == (v2.n_words, 8)
+
+
+def test_dataset_batches(store):
+    cfg, path, n = store
+    ds = SpeechMotionDataset(path, cfg.data)
+    lang = build_vocab("words", [
+        [w for aux in ds._aux_cache for w in aux["words"]]], None, None, 300)
+    ds.set_lang_model(lang)
+    bs = min(4, len(ds))
+    batch = next(ds.batches(bs, shuffle=True, seed=0))
+    assert batch["target_vec"].shape == (bs, 34, 27)
+    assert batch["in_audio"].shape == (bs, 36267)
+    assert batch["spectrogram"].shape[0] == bs
+    assert batch["spectrogram"].shape[1] == 128
+    assert batch["text_padded"].shape == (bs, 34)
+    # aligned word ids are sparse and within vocab
+    assert (batch["text_padded"] > 0).any()
+    assert batch["text_padded"].max() < lang.n_words
+    assert batch["vid_indices"].max() < ds.speaker_model.n_words
+
+
+def test_calculate_data_mean(rng):
+    skel = G.TED_SKELETON
+    poses = [rng.normal(size=(10, 10, 3))]
+    vecs = [rng.normal(size=(10, 9, 3))]
+    mv, mp, bl = calculate_data_mean(vecs, poses, skel)
+    assert mv.shape == (9, 3) and mp.shape == (10, 3) and bl.shape == (9,)
+    np.testing.assert_allclose(mv, vecs[0].mean(axis=0), atol=1e-9)
