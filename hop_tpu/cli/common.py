@@ -1,0 +1,164 @@
+"""Shared CLI assembly: data, model zoo switch, train steps, evaluator.
+
+Counterpart of the setup half of reference run_ted.py:219-372 (datasets,
+vocab, model zoo elif-chain :272-310, optimizers, evaluator) with the
+reference's dispatch bugs fixed (its generator/model flag mix-up meant only
+the LLM path could run under defaults, run_ted.py:399-418 — here every model
+name dispatches).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hop_tpu import geometry
+from hop_tpu.config import Config, ted_config, expressive_config
+from hop_tpu.data import synthetic
+from hop_tpu.data.dataset import SpeechMotionDataset
+from hop_tpu.data.preprocessor import DataPreprocessor
+from hop_tpu.data.vocab import Vocab, build_vocab
+from hop_tpu.eval.evaluate import evaluate_testset
+from hop_tpu.eval.fgd import (EmbeddingSpaceEvaluator, make_ted_feature_fn,
+                              make_expressive_feature_fn)
+from hop_tpu.ops import mel as mel_ops
+
+
+MODEL_CHOICES = ("AD_LLM", "multimodal_context", "seq2seq", "speech2gesture",
+                 "joint_embedding", "gesture_autoencoder", "hierarchy")
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--model", default="AD_LLM", choices=MODEL_CHOICES)
+    p.add_argument("--data", default="synthetic",
+                   help="record-store path prefix (train split), or "
+                        "'synthetic' to fabricate one")
+    p.add_argument("--val-data", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--checkpoint-dir", default="./checkpoints")
+    p.add_argument("--metrics", default="./metrics.jsonl")
+    p.add_argument("--eval-net", default=None,
+                   help=".npz with the frozen FGD feature-net params "
+                        "(random-init used when absent — scores are then "
+                        "relative, not comparable to the reference)")
+    p.add_argument("--seed", type=int, default=2021)
+    p.add_argument("--synthetic-videos", type=int, default=3)
+    p.add_argument("--log-every", type=int, default=100)
+    return p
+
+
+def apply_overrides(cfg: Config, args) -> Config:
+    import dataclasses
+    train = cfg.train
+    if args.epochs is not None:
+        train = dataclasses.replace(train, epochs=args.epochs)
+    if args.batch_size is not None:
+        train = dataclasses.replace(train, batch_size=args.batch_size)
+    if args.learning_rate is not None:
+        train = dataclasses.replace(train, learning_rate=args.learning_rate)
+    return cfg.replace(train=train)
+
+
+def load_datasets(cfg: Config, args):
+    """Returns (train_ds, val_ds, lang_model)."""
+    if args.data == "synthetic":
+        tmp = Path(tempfile.mkdtemp(prefix="hop_synth_"))
+        videos = synthetic.make_source_clips(
+            cfg, n_videos=args.synthetic_videos, clip_seconds=20.0,
+            seed=args.seed)
+        for split, vids in (("train", videos), ("val", videos[:1])):
+            DataPreprocessor(cfg.data, str(tmp / split)).run(vids)
+        train_path, val_path = str(tmp / "train"), str(tmp / "val")
+    else:
+        train_path = args.data
+        val_path = args.val_data or args.data
+
+    train_ds = SpeechMotionDataset(train_path, cfg.data)
+    val_ds = SpeechMotionDataset(val_path, cfg.data,
+                                 speaker_model=train_ds.speaker_model)
+    lang = build_vocab(
+        "words",
+        [[w for aux in ds._aux_cache for w in aux["words"]]
+         for ds in (train_ds, val_ds)],
+        None, None, cfg.data.wordembed_dim)
+    train_ds.set_lang_model(lang)
+    val_ds.set_lang_model(lang)
+    return train_ds, val_ds, lang
+
+
+def device_batch(batch: dict, cfg: Config, with_mel: bool = True) -> dict:
+    """Host batch -> device arrays + on-device log-mel."""
+    out = {k: jnp.asarray(v) for k, v in batch.items()}
+    if with_mel:
+        d = cfg.data
+        out["log_mel"] = mel_ops.log_mel_spectrogram(
+            out["in_audio"], sr=d.sample_rate, n_fft=d.mel_n_fft,
+            hop=d.mel_hop, n_mels=d.mel_bins)
+    T = batch["word_seq"].shape[1]
+    out["text_mask"] = jnp.asarray(
+        (np.arange(T)[None] < batch["text_lengths"][:, None])
+        .astype(np.float32))
+    # the live HOP path feeds vocab word ids as LLM token ids
+    # (run_ted.py:400); clamp into the LLM vocab
+    out["text_padded"] = out["text_padded"] % cfg.llm.vocab_size
+    return out
+
+
+def make_fgd_evaluator(cfg: Config, lang_n_words: int,
+                       eval_net_path: Optional[str]):
+    """Frozen feature net -> EmbeddingSpaceEvaluator.
+
+    With no pretrained weights available the net is randomly initialised —
+    FGD values are then only comparable within a run (the reference instead
+    loads gesture_autoencoder_checkpoint_best.bin, run_ted.py:126)."""
+    rng = jax.random.PRNGKey(0)
+    pose_dim = cfg.data.pose_dim
+    if pose_dim == 27:
+        from hop_tpu.models.embedding_net import EmbeddingNet
+        net = EmbeddingNet(pose_dim=pose_dim, n_frames=cfg.data.n_poses,
+                           n_words=lang_n_words, mode="pose")
+        poses = jnp.zeros((2, cfg.data.n_poses, pose_dim))
+        variables = net.init(rng, None, None, poses[:, :4], poses,
+                             input_mode="pose")
+        if eval_net_path:
+            variables = _load_variables(eval_net_path, variables)
+        return EmbeddingSpaceEvaluator(make_ted_feature_fn(net, variables))
+    else:
+        from hop_tpu.models.motion_ae import MotionAE
+        net = MotionAE(pose_dim=pose_dim,
+                       latent_dim=cfg.baseline.motion_ae_latent_dim)
+        poses = jnp.zeros((2, cfg.data.n_poses, pose_dim))
+        variables = net.init(rng, poses)
+        if eval_net_path:
+            variables = _load_variables(eval_net_path, variables)
+        return EmbeddingSpaceEvaluator(
+            make_expressive_feature_fn(net, variables))
+
+
+def _load_variables(path: str, template):
+    from hop_tpu.utils.checkpoint import load_arrays
+    return load_arrays(path, template)
+
+
+def make_eval_fn(cfg: Config, val_ds, evaluator, generate_from_state,
+                 n_speakers: int):
+    """generate_from_state(state, batch, vids, rng) -> outputs."""
+    def eval_fn(state, epoch):
+        batches = (device_batch(b, cfg)
+                   for b in val_ds.batches(cfg.train.batch_size,
+                                           shuffle=False, drop_last=False))
+        def gen(batch, vids, rng):
+            return generate_from_state(state, batch, vids, rng)
+        return evaluate_testset(batches, gen, evaluator, epoch, cfg,
+                                n_speakers, jax.random.PRNGKey(1234 + epoch))
+    return eval_fn

@@ -1,0 +1,96 @@
+"""Long-form inference: sliding-window synthesis with cross-fade.
+
+Counterpart of reference test_checkpoint.py:370-480: 34-frame units at a
+30-frame stride, each window seeded with the previous window's last 16
+output frames, 4-frame linear cross-fade between consecutive windows. The
+per-window mel is computed on device (the reference calls librosa per
+window); the model forward is jitted once and reused for every window.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hop_tpu.config import Config
+from hop_tpu.data.preprocessor import get_words_in_time_range
+from hop_tpu.ops import mel as mel_ops
+
+
+def generate_long_form(cfg: Config,
+                       forward_fn: Callable,
+                       clip_audio: np.ndarray,
+                       clip_words: list,
+                       seed_dir_vec: np.ndarray,
+                       lang_model,
+                       vid_index: int,
+                       tokenizer=None,
+                       rng: Optional[jax.Array] = None) -> np.ndarray:
+    """forward_fn(in_audio, log_mel, text_ids, pre_seq, vid, rng) ->
+    (1, 34, pose_dim). Returns stitched (total_frames, pose_dim)."""
+    d = cfg.data
+    sr = d.sample_rate
+    n_frames = d.n_poses
+    fps = d.pose_resampling_fps
+    unit_time = n_frames / fps
+    stride_time = (n_frames - d.n_pre_poses) / fps
+    clip_length = len(clip_audio) / sr
+    if clip_length < unit_time:
+        num_subdivision = 1
+    else:
+        num_subdivision = math.ceil((clip_length - unit_time)
+                                    / stride_time) + 1
+    audio_sample_length = int(unit_time * sr)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    pre_seq = jnp.asarray(seed_dir_vec[: d.n_seed_frames],
+                          jnp.float32)[None]
+    vid = jnp.asarray([vid_index])
+
+    out_list = []
+    outputs = None
+    for a in range(num_subdivision):
+        start_time = a * stride_time
+        end_time = start_time + unit_time
+        audio_start = math.floor(start_time / clip_length * len(clip_audio))
+        in_audio = clip_audio[audio_start: audio_start + audio_sample_length]
+        in_audio = np.pad(in_audio,
+                          (0, audio_sample_length - len(in_audio)),
+                          "constant")
+        in_audio_j = jnp.asarray(in_audio, jnp.float32)[None]
+        log_mel = mel_ops.log_mel_spectrogram(
+            in_audio_j, sr=sr, n_fft=d.mel_n_fft, hop=d.mel_hop,
+            n_mels=d.mel_bins)
+
+        words = get_words_in_time_range(clip_words, start_time, end_time)
+        frame_dur = unit_time / n_frames
+        word_ids = np.zeros(n_frames, np.int64)
+        for w in words:
+            idx = max(0, int(np.floor((w[1] - start_time) / frame_dur)))
+            if idx < n_frames:
+                word_ids[idx] = lang_model.get_word_index(w[0])
+        text = jnp.asarray(word_ids)[None]
+
+        if a > 0:
+            pre_seq = outputs[:, -d.n_seed_frames:]
+
+        rng, rng_step = jax.random.split(rng)
+        outputs = forward_fn(in_audio_j, log_mel, text, pre_seq, vid,
+                             rng_step)
+        out_seq = np.asarray(outputs[0])
+
+        if out_list:
+            # 4-frame linear cross-fade (test_checkpoint.py:462-471)
+            last_poses = out_list[-1][-d.n_pre_poses:]
+            out_list[-1] = out_list[-1][:-d.n_pre_poses]
+            n = len(last_poses)
+            for j in range(n):
+                out_seq[j] = (last_poses[j] * (n - j) / (n + 1)
+                              + out_seq[j] * (j + 1) / (n + 1))
+        out_list.append(out_seq)
+
+    return np.vstack(out_list)

@@ -1,0 +1,116 @@
+"""Epoch-level training orchestration.
+
+Counterpart of the epoch loop in reference run_ted.py:374-466 /
+run_expressive.py: per-batch dispatch into the model's train step (with the
+GAN warm-up gate handled here, in Python, so both phases stay statically
+compiled), AverageMeter logging every 100 iterations with s/iter + ETA,
+per-epoch evaluate_testset, JSONL metric stream (replacing TensorBoard),
+and checkpoint save-on-best-FGD plus latest-for-resume.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from hop_tpu.config import Config
+from hop_tpu.eval.evaluate import EvalResult, evaluate_testset
+from hop_tpu.utils.meters import AverageMeter
+
+METER_NAMES = ("loss", "var_loss", "gen", "dis", "KLD", "DIV_REG",
+               "c_pos", "c_neg", "phy")
+
+
+class MetricWriter:
+    """JSONL scalar stream (the TensorBoard replacement)."""
+
+    def __init__(self, path: Optional[str]):
+        self._f = open(path, "a") if path else None
+
+    def scalar(self, name: str, value: float, step: int):
+        if self._f:
+            self._f.write(json.dumps(
+                {"name": name, "value": float(value), "step": step}) + "\n")
+            self._f.flush()
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+def run_training(cfg: Config,
+                 train_batches_fn: Callable[[int], Iterable[dict]],
+                 warmup_step, gan_step, state,
+                 rng: jax.Array,
+                 eval_fn: Optional[Callable[[object, int], EvalResult]] = None,
+                 checkpoint_manager=None,
+                 metric_path: Optional[str] = None,
+                 log_every: int = 100,
+                 epochs: Optional[int] = None):
+    """Runs the full schedule; returns (state, best_fgd)."""
+    epochs = epochs or cfg.train.epochs
+    meters = {n: AverageMeter(n) for n in METER_NAMES}
+    writer = MetricWriter(metric_path)
+    best_fgd = float("inf")
+    iter_count = 0
+    time_now = time.time()
+
+    for epoch in range(epochs):
+        epoch_start = time.time()
+        use_gan = (gan_step is not None
+                   and epoch > cfg.loss.warmup_epochs
+                   and cfg.loss.gan_weight > 0.0)
+        step_fn = gan_step if use_gan else warmup_step
+
+        for i, batch in enumerate(train_batches_fn(epoch)):
+            iter_count += 1
+            rng, rng_step = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, rng_step)
+            bsz = next(iter(batch.values())).shape[0]
+            for name, meter in meters.items():
+                if name in metrics:
+                    meter.update(float(metrics[name]), bsz)
+
+            if (i + 1) % log_every == 0:
+                summary = f"\titers: {i + 1}, epoch: {epoch + 1} "
+                for meter in meters.values():
+                    if meter.count > 0:
+                        summary += f"{meter.name}: {meter.avg:.3f}, "
+                        meter.reset()
+                speed = (time.time() - time_now) / iter_count
+                print(summary)
+                print(f"\tspeed: {speed:.4f}s/iter")
+                time_now = time.time()
+                iter_count = 0
+
+        print(f"Epoch: {epoch + 1} cost time: "
+              f"{time.time() - epoch_start:.1f}s")
+
+        if eval_fn is not None:
+            result = eval_fn(state, epoch)
+            print(str(result))
+            writer.scalar("diversity_score/val", result.diversity, epoch)
+            writer.scalar("val_frechet_dist/val", result.frechet_dist, epoch)
+            writer.scalar("BC/val", result.bc, epoch)
+            writer.scalar("loss/val", result.loss, epoch)
+
+            if checkpoint_manager is not None:
+                checkpoint_manager.save(epoch, state, metadata={
+                    "fgd": result.frechet_dist, "bc": result.bc})
+                if result.frechet_dist < best_fgd:
+                    checkpoint_manager.record_best(
+                        "frechet", result.frechet_dist, epoch)
+                    print("Saved the checkpoint (best FGD "
+                          f"{result.frechet_dist:.3f})")
+            if result.frechet_dist < best_fgd:
+                best_fgd = result.frechet_dist
+            print(f"  *** BEST VALIDATION FGD: {best_fgd:.3f}")
+
+    writer.close()
+    return state, best_fgd

@@ -1,0 +1,86 @@
+"""Checkpoint save/load with orbax.
+
+Replaces the reference's torch.save-on-best-FGD (run_ted.py:454-462) and its
+HA2G-format checkpoint consumers (load_checkpoint.py:19-45,
+train_utils_expressive.py:191-244). Unlike the reference (save-only, no
+resume, SURVEY.md §5.4), checkpoints carry params, optimizer state, batch
+stats and metadata so training resumes after preemption — the natural TPU
+requirement.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+        self._best_path = self.directory / "best_metrics.json"
+
+    def save(self, step: int, state: Any, metadata: Optional[dict] = None):
+        payload = {"state": state}
+        if metadata:
+            payload["metadata"] = metadata
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None):
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore({"state": template}))
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def record_best(self, metric_name: str, value: float, step: int) -> bool:
+        """Track best-so-far (lower is better, like FGD). Returns True when
+        `value` improves, mirroring the reference's save-on-best gate."""
+        best = {}
+        if self._best_path.exists():
+            best = json.loads(self._best_path.read_text())
+        improved = value < best.get(metric_name, float("inf"))
+        if improved:
+            best[metric_name] = value
+            best[f"{metric_name}_step"] = step
+            self._best_path.write_text(json.dumps(best, indent=1))
+        return improved
+
+
+def save_arrays(path: str, tree: Any):
+    """Flat .npz save of a pytree (frozen feature nets, exported weights)."""
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in keypath)
+        flat[name] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_arrays(path: str, template: Any) -> Any:
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    flat = {}
+    for keypath, _ in jax.tree_util.tree_leaves_with_path(template):
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in keypath)
+        flat[name] = data[name]
+    new_leaves = [flat[k] for k in
+                  ["/".join(str(getattr(kk, "key", getattr(kk, "idx", kk)))
+                            for kk in kp)
+                   for kp, _ in jax.tree_util.tree_leaves_with_path(template)]]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
