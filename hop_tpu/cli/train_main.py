@@ -247,6 +247,9 @@ def train_main(cfg: Config, args) -> float:
         for hb in train_ds.batches(bs, shuffle=True, seed=args.seed + epoch):
             yield C.device_batch(hb, cfg)
 
+    ckpt.metadata = {"model": args.model, "dataset": cfg.data.dataset,
+                     "n_speakers": n_speakers, "n_words": lang.n_words}
+
     state, best_fgd = run_training(
         cfg, train_batches, warmup, gan, state,
         rng=jax.random.PRNGKey(args.seed),

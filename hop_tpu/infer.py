@@ -81,7 +81,7 @@ def generate_long_form(cfg: Config,
         rng, rng_step = jax.random.split(rng)
         outputs = forward_fn(in_audio_j, log_mel, text, pre_seq, vid,
                              rng_step)
-        out_seq = np.asarray(outputs[0])
+        out_seq = np.array(outputs[0])  # writable copy for the cross-fade
 
         if out_list:
             # 4-frame linear cross-fade (test_checkpoint.py:462-471)

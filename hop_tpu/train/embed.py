@@ -8,6 +8,8 @@ hardcodes variational_encoding=False on both paths, :11-14).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -37,7 +39,7 @@ def make_embed_train_step(cfg: Config, net, mode: str = "pose"):
         loss = jnp.sum(per_sample)
         return loss, (upd["batch_stats"], {"loss": loss})
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: SimpleTrainState, batch, rng):
         (loss, (stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.stats, batch, rng)
@@ -71,7 +73,7 @@ def make_motion_ae_train_step(cfg: Config, net):
         loss = jnp.sum(l1)
         return loss, (upd["batch_stats"], {"loss": loss})
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: SimpleTrainState, batch, rng):
         del rng
         (loss, (stats, metrics)), grads = jax.value_and_grad(

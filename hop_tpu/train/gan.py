@@ -8,6 +8,8 @@ bit (train_gan.py:20-22), use_noisy_target is False, and the GAN gate is
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -113,11 +115,11 @@ def make_gan_train_steps(cfg: Config, generator, discriminator):
             gen_stats=gstats, gen_opt_state=opt_state,
             dis_stats=dstats), metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def warmup_step(state, batch, rng):
         return _gen_update(state, batch, rng, use_gan=False)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def gan_step(state, batch, rng):
         rng_fwd, rng_d, rng_g = jax.random.split(rng, 3)
         pre_seq = build_pre_seq(batch["target_vec"], cfg.data.n_pre_poses)

@@ -19,6 +19,8 @@ import math
 from typing import Sequence
 
 import numpy as np
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -219,11 +221,11 @@ def make_hierarchy_train_steps(cfg: Config, stages, discriminator,
             gen_params=optax.apply_updates(state.gen_params, upd),
             gen_stats=gstats, gen_opt_state=opt, dis_stats=dstats), metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def warmup_step(state, batch, rng):
         return _gen_update(state, batch, rng, use_gan=False)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def gan_step(state, batch, rng):
         rng_e, rng_c, rng_d, rng_g = jax.random.split(rng, 4)
         (f_low, f_mid, f_high, blends, _), gen_stats = encode(

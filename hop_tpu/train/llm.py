@@ -138,11 +138,11 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
             dis_stats=dis_stats,
         ), metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def warmup_step(state: GANTrainState, batch, rng):
         return _gen_update(state, batch, rng, use_gan=False)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def gan_step(state: GANTrainState, batch, rng):
         rng_d_fwd, rng_d, rng_g = jax.random.split(rng, 3)
 

@@ -6,6 +6,8 @@ custom_loss = 600*MSE + kld_weight * continuity(sum |Δframe| / n_elements)
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -43,7 +45,7 @@ def make_seq2seq_train_step(cfg: Config, model):
                           rngs={"dropout": rng})
         return custom_loss(out, batch["target_vec"], cfg), {}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: SimpleTrainState, batch, rng):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.stats, batch, rng)

@@ -8,6 +8,8 @@ computes it internally here (it is part of its forward in both codebases).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -55,7 +57,7 @@ def make_s2g_train_step(cfg: Config, generator, discriminator):
                       {"loss": cfg.loss.regression_weight * l1,
                        "gen": cfg.loss.gan_weight * gen_err})
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: GANTrainState, batch, rng):
         del rng  # no stochastic layers in this baseline
         fake, gen_stats = gen_apply(state.gen_params, state.gen_stats, batch)

@@ -28,12 +28,24 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
         self._best_path = self.directory / "best_metrics.json"
 
+    # static run metadata (model name, speaker count, ...) merged into every
+    # save's metadata dict; set by the training entry point
+    metadata: dict = None
+
     def save(self, step: int, state: Any, metadata: Optional[dict] = None):
-        payload = {"state": state}
-        if metadata:
-            payload["metadata"] = metadata
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        # metadata goes to a JSON sidecar, never into the array payload
+        merged = dict(self.metadata or {})
+        merged.update(metadata or {})
+        if merged:
+            (self.directory / "run_metadata.json").write_text(
+                json.dumps({k: v for k, v in merged.items()
+                            if isinstance(v, (str, int, float, bool))}))
+        self._mgr.save(step, args=ocp.args.StandardSave({"state": state}))
         self._mgr.wait_until_finished()
+
+    def run_metadata(self) -> dict:
+        p = self.directory / "run_metadata.json"
+        return json.loads(p.read_text()) if p.exists() else {}
 
     def restore(self, step: Optional[int] = None, template: Any = None):
         step = step if step is not None else self._mgr.latest_step()
