@@ -51,7 +51,9 @@ class PoseEncoderConv(nn.Module):
         x = ConvNormRelu(64)(x, train)              # -> 30
         x = ConvNormRelu(64, downsample=True)(x, train)  # -> 14
         x = nn.Conv(32, (3,), padding="VALID")(x)   # -> 12 (12*32 = 384)
-        x = x.reshape(x.shape[0], -1)
+        # torch flattens channel-major (B, C, L) -> (B, C*L); match that
+        # order so reference checkpoints import exactly
+        x = jnp.swapaxes(x, 1, 2).reshape(x.shape[0], -1)
         x = nn.Dense(256)(x)
         x = common.BatchNorm(use_running_average=not train)(x)
         x = common.leaky_relu(x, common.IDENTITY_SLOPE)
@@ -96,6 +98,31 @@ class PoseDecoderConv(nn.Module):
         x = nn.Conv(32, (3,), padding="VALID")(x)           # -> 36
         x = nn.Conv(self.pose_dim, (3,), padding="VALID")(x)  # -> 34
         return x
+
+
+class PoseDecoderFC(nn.Module):
+    """Latent (+ seed poses) -> MLP -> full pose window
+    (reference embedding_net.py:87-129; kept for checkpoint compatibility,
+    the reference instantiates the GRU decoder in the live path)."""
+    gen_length: int
+    pose_dim: int
+    use_pre_poses: bool = False
+
+    @nn.compact
+    def __call__(self, latent, pre_poses=None, train: bool = False):
+        feat = latent
+        if self.use_pre_poses:
+            pp = nn.Dense(32)(pre_poses.reshape(pre_poses.shape[0], -1))
+            pp = common.BatchNorm(use_running_average=not train)(pp)
+            pp = nn.relu(pp)
+            pp = nn.Dense(32)(pp)
+            feat = jnp.concatenate([pp, latent], axis=1)
+        for width in (128, 128, 256, 512):
+            feat = nn.Dense(width)(feat)
+            feat = common.BatchNorm(use_running_average=not train)(feat)
+            feat = nn.relu(feat)
+        out = nn.Dense(self.gen_length * self.pose_dim)(feat)
+        return out.reshape(-1, self.gen_length, self.pose_dim)
 
 
 class PoseDecoderGRU(nn.Module):

@@ -23,7 +23,8 @@ class MotionPoseEncoder(nn.Module):
         x = ConvNormRelu(64)(x, train)
         x = ConvNormRelu(64, downsample=True)(x, train)
         x = nn.Conv(32, (3,), padding="VALID")(x)
-        x = x.reshape(x.shape[0], -1)  # (B, 384)
+        # channel-major flatten, matching torch's (B, C, L).flatten(1)
+        x = jnp.swapaxes(x, 1, 2).reshape(x.shape[0], -1)  # (B, 384)
         x = nn.Dense(256)(x)
         x = common.BatchNorm(use_running_average=not train)(x)
         x = common.leaky_relu(x, common.IDENTITY_SLOPE)
