@@ -21,3 +21,26 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (huge win on the tunneled TPU where
+    a cold compile of the full GAN step costs minutes). Opt out with
+    HOP_TPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("HOP_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "HOP_TPU_COMPILE_CACHE",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
