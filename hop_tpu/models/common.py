@@ -108,6 +108,24 @@ class SpeakerLatent(nn.Module):
         return z, mu, logvar
 
 
+def pre_emphasis(audio: jnp.ndarray, coef: float = 0.97) -> jnp.ndarray:
+    """FIR pre-emphasis y[t] = x[t] - coef*x[t-1] with edge replication
+    (reference model/utils.py:24-38 PreEmphasis conv [-0.97, 1])."""
+    padded = jnp.concatenate([audio[..., :1], audio], axis=-1)
+    return padded[..., 1:] - coef * padded[..., :-1]
+
+
+def topk_accuracy(logits: jnp.ndarray, targets: jnp.ndarray,
+                  topk=(1,)) -> list:
+    """Top-k accuracy percentages (reference model/utils.py:7-21)."""
+    order = jnp.argsort(logits, axis=-1)[..., ::-1]
+    out = []
+    for k in topk:
+        hit = jnp.any(order[..., :k] == targets[..., None], axis=-1)
+        out.append(jnp.mean(hit.astype(jnp.float32)) * 100.0)
+    return out
+
+
 def kld_loss(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
     """-0.5 * mean(1 + logvar - mu^2 - exp(logvar)) (train_llm.py:73)."""
     return -0.5 * jnp.mean(1 + logvar - mu ** 2 - jnp.exp(logvar))

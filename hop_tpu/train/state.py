@@ -26,6 +26,24 @@ def adam(lr: float, betas=(0.5, 0.999)) -> optax.GradientTransformation:
     return optax.adam(learning_rate=lr, b1=betas[0], b2=betas[1])
 
 
+def make_schedule(base_lr: float, lradj: str = "constant",
+                  steps_per_epoch: int = 1, epochs: int = 75,
+                  pct_start: float = 0.2):
+    """LR schedules mirroring the reference's scheduler options: OneCycleLR
+    (run_ted.py:352-356) and CosineAnnealing (:349-350). The reference never
+    calls scheduler.step(), so 'constant' is the parity default."""
+    total = steps_per_epoch * epochs
+    if lradj == "onecycle":
+        return optax.linear_onecycle_schedule(
+            transition_steps=total, peak_value=base_lr,
+            pct_start=pct_start, pct_final=1.0, div_factor=25.0,
+            final_div_factor=1e4)
+    if lradj == "COS":
+        return optax.cosine_decay_schedule(base_lr, decay_steps=total,
+                                           alpha=1e-8 / base_lr)
+    return base_lr
+
+
 def frozen_llm_mask(params: Any, frozen_key: str = "llm") -> Any:
     """Label pytree: 'frozen' for the LLM subtree, 'train' elsewhere."""
     def label(path, _):
