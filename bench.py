@@ -44,14 +44,16 @@ def main():
 
     model = HOPModel(cfg, n_speakers=10)
     disc = ConvDiscriminator()
-    gen_vars = model.init(
+    # jit the inits: eager flax init dispatches thousands of tiny ops,
+    # which is pathological over the tunneled TPU
+    gen_vars = jax.jit(lambda r: model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(3)},
         b["in_audio"], b["log_mel"], b["text_padded"],
         b["target_vec"][:, :16], b["vid_indices"],
-        rng=jax.random.PRNGKey(1), train=True)
-    dis_vars = disc.init(
+        rng=r, train=True))(jax.random.PRNGKey(1))
+    dis_vars = jax.jit(lambda: disc.init(
         {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(4)},
-        b["target_vec"], train=True)
+        b["target_vec"], train=True))()
 
     _, gan_step, init_state = make_hop_train_steps(cfg, model, disc)
     state = init_state(gen_vars, dis_vars)

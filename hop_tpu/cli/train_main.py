@@ -36,17 +36,18 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
         from hop_tpu.train.llm import make_hop_train_steps
         model = HOPModel(cfg, n_speakers=n_speakers)
         disc = ConvDiscriminator()
-        gen_vars = model.init(
-            rngs, b["in_audio"], b["log_mel"], b["text_padded"],
-            b["target_vec"][:, :cfg.data.n_seed_frames], b["vid_indices"],
-            rng=jax.random.PRNGKey(1), train=True)
+        gen_vars = jax.jit(lambda *a: model.init(
+            rngs, *a, rng=jax.random.PRNGKey(1), train=True))(
+            b["in_audio"], b["log_mel"], b["text_padded"],
+            b["target_vec"][:, :cfg.data.n_seed_frames], b["vid_indices"])
         n_trainable = sum(
             int(np.prod(np.shape(x)))
             for path, x in jax.tree_util.tree_leaves_with_path(
                 gen_vars["params"])
             if not any(getattr(k, "key", None) == "llm" for k in path))
         print(f"Total parameters: {n_trainable}")
-        dis_vars = disc.init(rngs, b["target_vec"], train=True)
+        dis_vars = jax.jit(lambda t: disc.init(rngs, t, train=True))(
+            b["target_vec"])
         warmup, gan, init_state = make_hop_train_steps(cfg, model, disc)
         state = init_state(gen_vars, dis_vars)
 
@@ -72,10 +73,11 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
                             input_context=cfg.baseline.input_context)
         disc = ConvDiscriminator()
         pre = build_pre_seq(b["target_vec"], cfg.data.n_pre_poses)
-        gen_vars = gen.init(rngs, pre, b["text_padded"], b["in_audio"],
-                            b["vid_indices"], rng=jax.random.PRNGKey(1),
-                            train=True)
-        dis_vars = disc.init(rngs, b["target_vec"], train=True)
+        gen_vars = jax.jit(lambda *a: gen.init(
+            rngs, *a, rng=jax.random.PRNGKey(1), train=True))(
+            pre, b["text_padded"], b["in_audio"], b["vid_indices"])
+        dis_vars = jax.jit(lambda t: disc.init(rngs, t, train=True))(
+            b["target_vec"])
         warmup, gan, init_state = make_gan_train_steps(cfg, gen, disc)
         state = init_state(gen_vars, dis_vars)
 
@@ -100,8 +102,8 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
                          hidden_size=cfg.baseline.hidden_size,
                          n_layers=cfg.baseline.n_layers,
                          dropout=cfg.baseline.dropout_prob)
-        variables = net.init(rngs, b["word_seq"], b["text_mask"],
-                             b["target_vec"], train=True)
+        variables = jax.jit(lambda *a: net.init(rngs, *a, train=True))(
+            b["word_seq"], b["text_mask"], b["target_vec"])
         step, init_state = make_seq2seq_train_step(cfg, net)
         state = init_state(variables)
 
@@ -120,10 +122,10 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
                             pose_dim=cfg.data.pose_dim,
                             n_pre_poses=cfg.data.n_pre_poses)
         disc = s2g.Discriminator(pose_dim=cfg.data.pose_dim)
-        gen_vars = gen.init(rngs, b["spectrogram"],
-                            b["target_vec"][:, :cfg.data.n_pre_poses],
-                            train=True)
-        dis_vars = disc.init(rngs, b["target_vec"], train=True)
+        gen_vars = jax.jit(lambda *a: gen.init(rngs, *a, train=True))(
+            b["spectrogram"], b["target_vec"][:, :cfg.data.n_pre_poses])
+        dis_vars = jax.jit(lambda t: disc.init(rngs, t, train=True))(
+            b["target_vec"])
         step, init_state = make_s2g_train_step(cfg, gen, disc)
         state = init_state(gen_vars, dis_vars)
 
@@ -142,11 +144,11 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
         net = EmbeddingNet(pose_dim=cfg.data.pose_dim,
                            n_frames=cfg.data.n_poses,
                            n_words=lang.n_words, mode=mode)
-        variables = net.init(
+        variables = jax.jit(lambda *a: net.init(
             rngs, b["text_padded"] if mode != "pose" else None,
-            b["in_audio"] if mode != "pose" else None,
-            b["target_vec"][:, :cfg.data.n_pre_poses], b["target_vec"],
-            input_mode="pose", rng=jax.random.PRNGKey(1), train=True)
+            b["in_audio"] if mode != "pose" else None, *a,
+            input_mode="pose", rng=jax.random.PRNGKey(1), train=True))(
+            b["target_vec"][:, :cfg.data.n_pre_poses], b["target_vec"])
         step, init_state = make_embed_train_step(cfg, net, mode="pose")
         state = init_state(variables)
 

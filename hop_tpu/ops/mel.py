@@ -124,6 +124,7 @@ def power_to_db(s: jnp.ndarray, amin: float = 1e-10, top_db: float = 80.0,
     return log_spec
 
 
+@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels"))
 def log_mel_spectrogram(audio: jnp.ndarray, sr: int = 16000,
                         n_fft: int = 1024, hop: int = 1096,
                         n_mels: int = 128) -> jnp.ndarray:
@@ -140,6 +141,7 @@ def log_mel_spectrogram(audio: jnp.ndarray, sr: int = 16000,
     return power_to_db(mel, ref_axes=batch_axes)
 
 
+@functools.partial(jax.jit, static_argnames=("sr",))
 def extract_melspectrogram(y: jnp.ndarray, sr: int = 16000) -> jnp.ndarray:
     """Dataset-cache spectrogram (mels x time), reference data_utils.py:34-38."""
     out = log_mel_spectrogram(y, sr=sr, n_fft=1024, hop=512)
