@@ -10,10 +10,17 @@ direction), grid over batch tiles, T recurrent (Bt, H) x (H, H) matmuls on
 the MXU with fused gate elementwise ops on the VPU.
 
 Gates are passed pre-split (r/z/n as separate refs) so in-kernel slicing
-never crosses lane boundaries. Forward-only: training uses the scan path
-(autodiff through lax.scan); inference/eval can opt in via
-GRU(..., use_pallas=True) — outputs are identical (tested in interpret mode
-and vs the scan).
+never crosses lane boundaries. Forward-only; outputs match the scan (tested
+in interpret mode and on hardware).
+
+MEASURED (v5e, B=256, T=34, H=350): the lax.scan formulation in ops/gru.py
+runs this workload at ~0.03 ms/call — already at the latency floor of 34
+dependent MXU ops — while this kernel's batch-tiled grid serialises tiles
+and lands at ~590 ms/call. The scan path is therefore the production path;
+this kernel is kept as the starting point for a future fused
+multi-layer/direction variant (single grid step, both directions + all
+layers resident, where pallas could beat the scan by removing the per-layer
+HBM round-trips).
 """
 
 from __future__ import annotations
