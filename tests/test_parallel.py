@@ -68,9 +68,13 @@ def test_sharded_step_matches_single_device():
     l1 = jax.tree_util.tree_leaves(state1.gen_params)
     l2 = jax.tree_util.tree_leaves(state2.gen_params)
     for a, bb in zip(l1, l2):
-        # reduction order differs between the sharded psum and the local sum
-        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
-                                   rtol=2e-4, atol=1e-4)
+        # Reduction order differs between the sharded psum and the local
+        # sum; Adam amplifies near-zero-gradient noise to O(lr) on isolated
+        # elements, so bound the mean drift tightly and the worst element
+        # by a fraction of one optimizer step (lr=0.01).
+        diff = np.abs(np.asarray(a) - np.asarray(bb))
+        assert diff.mean() < 1e-6, diff.mean()
+        assert diff.max() < 1e-3, diff.max()
 
 
 def test_gan_step_runs_sharded():
