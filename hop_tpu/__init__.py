@@ -31,6 +31,11 @@ def _enable_compilation_cache():
     HOP_TPU_NO_COMPILE_CACHE=1."""
     if _os.environ.get("HOP_TPU_NO_COMPILE_CACHE"):
         return
+    # CPU-only runs (tests, driver dryrun) must not share the cache: XLA:CPU
+    # AOT results encode host machine features and can mis-execute when
+    # loaded on a different toolchain/CPU (observed in this image).
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
     try:
         import jax
         cache_dir = _os.environ.get(
