@@ -65,6 +65,7 @@ class LLMConfig:
     max_position: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
+    compute_bf16: bool = True   # bf16 matmuls in the frozen backbone
 
 
 @dataclass(frozen=True)
@@ -76,6 +77,11 @@ class HOPConfig:
     num_prototype_tokens: int = 1500     # mapping_layer out (HOP.py:115-116)
     use_gwnet: bool = True
     use_reprogramming: bool = True
+    # Fast step: share the speaker-independent trunk between the main and
+    # random-speaker forwards and update G/D from one joint backward
+    # (simultaneous-GAN semantics). Parity mode (False) keeps the
+    # reference's 3-forward sequential-update structure.
+    fused_step: bool = False
     hidden_size: int = 350               # BiGRU hidden (HOP.py:125)
     gru_layers: int = 4
     z_size: int = 16

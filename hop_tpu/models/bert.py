@@ -30,6 +30,14 @@ import flax.linen as nn
 from hop_tpu.config import LLMConfig
 
 
+def _compute_dtype(cfg: LLMConfig):
+    """bf16 matmuls inside the frozen backbone (params stay f32; LayerNorm
+    and residual sums stay f32). The backbone is frozen, so reduced matmul
+    precision affects only the conditioning signal, and the MXU runs at
+    twice the f32 throughput."""
+    return jnp.bfloat16 if cfg.compute_bf16 else jnp.float32
+
+
 def _col(init):
     """Column-parallel kernel: shard output features over 'model'."""
     return nn.with_partitioning(init, (None, "model"))
@@ -48,9 +56,13 @@ class BertSelfAttention(nn.Module):
         cfg = self.cfg
         head_dim = cfg.dim // cfg.n_heads
         dense_init = nn.initializers.normal(0.02)
-        q = nn.Dense(cfg.dim, kernel_init=_col(dense_init), name="query")(x)
-        k = nn.Dense(cfg.dim, kernel_init=_col(dense_init), name="key")(x)
-        v = nn.Dense(cfg.dim, kernel_init=_col(dense_init), name="value")(x)
+        dt = _compute_dtype(cfg)
+        q = nn.Dense(cfg.dim, kernel_init=_col(dense_init), dtype=dt,
+                     name="query")(x)
+        k = nn.Dense(cfg.dim, kernel_init=_col(dense_init), dtype=dt,
+                     name="key")(x)
+        v = nn.Dense(cfg.dim, kernel_init=_col(dense_init), dtype=dt,
+                     name="value")(x)
         B, T, _ = x.shape
         q = q.reshape(B, T, cfg.n_heads, head_dim)
         k = k.reshape(B, T, cfg.n_heads, head_dim)
@@ -58,9 +70,11 @@ class BertSelfAttention(nn.Module):
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (head_dim ** 0.5)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = nn.Dropout(0.1)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, cfg.dim)
-        out = nn.Dense(cfg.dim, kernel_init=_row(dense_init), name="out")(ctx)
-        return out
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt),
+                         v).reshape(B, T, cfg.dim)
+        out = nn.Dense(cfg.dim, kernel_init=_row(dense_init), dtype=dt,
+                       name="out")(ctx)
+        return out.astype(jnp.float32)
 
 
 class BertLayer(nn.Module):
@@ -74,10 +88,13 @@ class BertLayer(nn.Module):
         attn = nn.Dropout(0.1)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                          name="attention_ln")(x + attn)
+        dt = _compute_dtype(cfg)
         h = nn.Dense(cfg.intermediate_dim, kernel_init=_col(dense_init),
-                     name="intermediate")(x)
+                     dtype=dt, name="intermediate")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.dim, kernel_init=_row(dense_init), name="output")(h)
+        h = nn.Dense(cfg.dim, kernel_init=_row(dense_init), dtype=dt,
+                     name="output")(h)
+        h = h.astype(jnp.float32)
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                             name="output_ln")(x + h)

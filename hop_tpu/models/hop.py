@@ -95,12 +95,36 @@ class HOPModel(nn.Module):
                  text: jnp.ndarray, pre_seq: jnp.ndarray,
                  vid_indices: Optional[jnp.ndarray] = None,
                  *, rng: Optional[jax.Array] = None, train: bool = False):
+        z_context, z_mu, z_logvar = self.speaker(vid_indices, rng)
+        trunk = self.trunk(in_audio, x_enc, text, pre_seq, train=train)
+        out = self.head(trunk, z_context)
+        return out, z_context, z_mu, z_logvar
+
+    def two_speaker_forward(self, in_audio, x_enc, text, pre_seq,
+                            vid_indices, rand_vid_indices,
+                            *, rng: jax.Array, train: bool = False):
+        """Fused diversity-regulariser forward: the audio/text/graph trunk is
+        speaker-independent (the latent only joins at the GRU input,
+        HOP.py:241-246), so compute it once and run the recurrent head on a
+        2B-stacked batch for (vids, rand_vids). Saves one full trunk forward
+        per train step vs the reference's three-forward structure."""
+        rng_a, rng_b = jax.random.split(rng)
+        z_a, mu_a, logvar_a = self.speaker(vid_indices, rng_a)
+        z_b, _, _ = self.speaker(rand_vid_indices, rng_b)
+        trunk = self.trunk(in_audio, x_enc, text, pre_seq, train=train)
+        stacked = jnp.concatenate([trunk, trunk], axis=0)
+        z = jnp.concatenate([z_a, z_b], axis=0)
+        out2 = self.head(stacked, z)
+        B = in_audio.shape[0]
+        return out2[:B], out2[B:], (z_a, mu_a, logvar_a), z_b
+
+    def trunk(self, in_audio: jnp.ndarray, x_enc: jnp.ndarray,
+              text: jnp.ndarray, pre_seq: jnp.ndarray,
+              train: bool = False) -> jnp.ndarray:
         cfg = self.cfg
         n_poses = cfg.data.n_poses
         num_joints = cfg.data.n_joints_graph
         B = in_audio.shape[0]
-
-        z_context, z_mu, z_logvar = self.speaker(vid_indices, rng)
 
         text_embeddings = self.llm.embed_tokens(text.astype(jnp.int32))
         if cfg.hop.use_reprogramming:
@@ -141,15 +165,20 @@ class HOPModel(nn.Module):
             audio_feat = self.audio_encoder(in_audio, train)
             dec_out = jnp.concatenate([ges, audio_feat, dec_out], axis=-1)
 
-        if z_context is not None:
-            rep = jnp.broadcast_to(z_context[:, None, :],
-                                   (B, n_poses, z_context.shape[-1]))
-            dec_out = jnp.concatenate([dec_out, rep], axis=-1)
+        return dec_out
 
+    def head(self, trunk: jnp.ndarray, z_context: Optional[jnp.ndarray]
+             ) -> jnp.ndarray:
+        """Speaker latent concat + BiGRU + output MLP (HOP.py:241-251)."""
+        dec_out = trunk
+        if z_context is not None:
+            rep = jnp.broadcast_to(
+                z_context[:, None, :],
+                (trunk.shape[0], trunk.shape[1], z_context.shape[-1]))
+            dec_out = jnp.concatenate([dec_out, rep], axis=-1)
         out, _ = self.gru(dec_out.astype(jnp.float32))
         h = self.cfg.hop.hidden_size
         out = out[..., :h] + out[..., h:]
         out = self.out_fc1(out)
         out = common.leaky_relu(out, common.IDENTITY_SLOPE)
-        out = self.out_fc2(out)
-        return out, z_context, z_mu, z_logvar
+        return self.out_fc2(out)

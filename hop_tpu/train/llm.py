@@ -138,6 +138,95 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
             dis_stats=dis_stats,
         ), metrics
 
+    # ---- fused fast path (cfg.hop.fused_step) -----------------------------
+    def _two_speaker_apply(gen_params, gen_stats, batch, rng):
+        rng_z, rng_drop = jax.random.split(rng)
+        rng_perm, rng_z = jax.random.split(rng_z)
+        vids = batch["vid_indices"]
+        rand_vids = jax.random.permutation(rng_perm, vids)
+        (out, out_rand, (z, mu, logvar), z_rand), upd = model.apply(
+            {"params": gen_params, "batch_stats": gen_stats},
+            batch["in_audio"], batch["log_mel"], batch["text_padded"],
+            batch["target_vec"][:, :16], vids, rand_vids,
+            rng=rng_z, train=True, rngs={"dropout": rng_drop},
+            mutable=["batch_stats"],
+            method="two_speaker_forward")
+        return (out, out_rand, z, mu, logvar, z_rand), upd["batch_stats"]
+
+    def fused_loss(gen_params, dis_params, gen_stats, dis_stats, batch, rng,
+                   use_gan: bool):
+        rng_fwd, rng_d1, rng_d = jax.random.split(rng, 3)
+        target = batch["target_vec"]
+        (out, out_rand, z, mu, logvar, z_rand), gen_stats = \
+            _two_speaker_apply(gen_params, gen_stats, batch, rng_fwd)
+
+        h = huber(out, target, loss_cfg.huber_beta)
+        beta = loss_cfg.div_beta
+        d = jnp.abs(out - jax.lax.stop_gradient(out_rand)) / beta
+        pose_l1 = (jnp.where(d < 1.0, 0.5 * d * d, d - 0.5) * beta
+                   ).sum(axis=(1, 2))
+        z_l1 = jnp.mean(jnp.abs(jax.lax.stop_gradient(z)
+                                - jax.lax.stop_gradient(z_rand)), axis=-1)
+        div_reg = jnp.clip(-(pose_l1 / (z_l1 + 1e-5)),
+                           loss_cfg.div_clamp, None).mean()
+        kld = kld_loss(mu, logvar)
+        loss = (h * loss_cfg.regression_weight
+                + div_reg * loss_cfg.reg_weight
+                + kld * loss_cfg.kld_weight)
+        metrics = {"loss": h * loss_cfg.regression_weight,
+                   "KLD": kld * loss_cfg.kld_weight,
+                   "DIV_REG": div_reg * loss_cfg.reg_weight}
+
+        if use_gan:
+            # G term against the (frozen) current discriminator
+            frozen_dis = jax.lax.stop_gradient(dis_params)
+            dis_out, dis_stats = _dis_apply(
+                discriminator, frozen_dis, dis_stats, out,
+                batch["text_padded"], rng_d1)
+            gen_error = -jnp.mean(jnp.log(dis_out + 1e-8))
+            loss = loss + gen_error * loss_cfg.gan_weight
+            metrics["gen"] = gen_error * loss_cfg.gan_weight
+
+            # D term on the detached sample (noisy targets, train_llm.py:22)
+            dis_err, dis_stats = dis_loss(
+                dis_params, dis_stats, jax.lax.stop_gradient(out), target,
+                batch["text_padded"], rng_d)
+            loss = loss + dis_err
+            metrics["dis"] = dis_err
+
+        return loss, (gen_stats, dis_stats, metrics)
+
+    def _fused_update(state, batch, rng, use_gan):
+        grad_fn = jax.value_and_grad(fused_loss, argnums=(0, 1),
+                                     has_aux=True)
+        (loss, (gen_stats, dis_stats, metrics)), (ggrads, dgrads) = grad_fn(
+            state.gen_params, state.dis_params, state.gen_stats,
+            state.dis_stats, batch, rng, use_gan)
+        gupd, gopt = gen_tx_holder["gen"].update(
+            ggrads, state.gen_opt_state, state.gen_params)
+        state = state.replace(
+            step=state.step + 1,
+            gen_params=optax.apply_updates(state.gen_params, gupd),
+            gen_stats=gen_stats, gen_opt_state=gopt, dis_stats=dis_stats)
+        if use_gan:
+            dupd, dopt = gen_tx_holder["dis"].update(
+                dgrads, state.dis_opt_state, state.dis_params)
+            state = state.replace(
+                dis_params=optax.apply_updates(state.dis_params, dupd),
+                dis_opt_state=dopt)
+        return state, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused_warmup_step(state, batch, rng):
+        return _fused_update(state, batch, rng, use_gan=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused_gan_step(state, batch, rng):
+        return _fused_update(state, batch, rng, use_gan=True)
+
+    if cfg.hop.fused_step:
+        return fused_warmup_step, fused_gan_step, init_state
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def warmup_step(state: GANTrainState, batch, rng):
         return _gen_update(state, batch, rng, use_gan=False)
