@@ -32,12 +32,11 @@ def main():
     from hop_tpu.models.multimodal_context import ConvDiscriminator
     from hop_tpu.train.llm import make_hop_train_steps
 
-    import dataclasses
     batch_size = 256
+    # parity-mode step (the reference's exact 3-forward structure); the
+    # fused variant (hop.fused_step=True) measures within noise of this —
+    # the recurrent head's backward dominates either way.
     cfg = ted_config()
-    # fast step: shared two-speaker trunk + joint G/D backward (see
-    # hop_tpu/train/llm.py); parity-mode numbers are in BASELINE.md
-    cfg = cfg.replace(hop=dataclasses.replace(cfg.hop, fused_step=True))
 
     batch = synthetic.make_batch(cfg, batch_size, seed=0)
     batch["text_padded"] = batch["text_padded"] % cfg.llm.vocab_size
