@@ -52,6 +52,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(random-init used when absent — scores are then "
                         "relative, not comparable to the reference)")
     p.add_argument("--seed", type=int, default=2021)
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard the batch over N devices (0 = all available "
+                        "when >1 device, 1 = off)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel degree for the frozen LLM kernels")
     p.add_argument("--synthetic-videos", type=int, default=3)
     p.add_argument("--log-every", type=int, default=100)
     return p

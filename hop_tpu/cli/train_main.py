@@ -252,9 +252,32 @@ def train_main(cfg: Config, args) -> float:
     ckpt.metadata = {"model": args.model, "dataset": cfg.data.dataset,
                      "n_speakers": n_speakers, "n_words": lang.n_words}
 
-    state, best_fgd = run_training(
-        cfg, train_batches, warmup, gan, state,
-        rng=jax.random.PRNGKey(args.seed),
-        eval_fn=eval_fn, checkpoint_manager=ckpt,
-        metric_path=args.metrics, log_every=args.log_every)
+    # optional SPMD: shard the batch over a 'data' axis (and the frozen LLM
+    # kernels over 'model' when requested); the jitted steps are layout
+    # -polymorphic, XLA inserts the gradient psums.
+    n_dev = len(jax.devices())
+    n_mp = max(getattr(args, "model_parallel", 1), 1)
+    n_dp = getattr(args, "data_parallel", 0)
+    if n_dp == 0:
+        n_dp = n_dev // n_mp if n_dev > 1 else 1
+    mesh_ctx = None
+    if n_dp * n_mp > 1:
+        from hop_tpu.parallel import create_mesh, shard_state, shard_batch
+        mesh = create_mesh(n_dp, n_mp)
+        print(f"mesh: data={n_dp} x model={n_mp}")
+        state = shard_state(state, mesh)
+        mesh_ctx = mesh
+        inner_batches = train_batches
+
+        def train_batches(epoch):  # noqa: F811
+            for db in inner_batches(epoch):
+                yield shard_batch(db, mesh)
+
+    import contextlib
+    with (mesh_ctx if mesh_ctx is not None else contextlib.nullcontext()):
+        state, best_fgd = run_training(
+            cfg, train_batches, warmup, gan, state,
+            rng=jax.random.PRNGKey(args.seed),
+            eval_fn=eval_fn, checkpoint_manager=ckpt,
+            metric_path=args.metrics, log_every=args.log_every)
     return best_fgd
