@@ -144,6 +144,26 @@ class HierarchicalConvDiscriminator(nn.Module):
         return jax.nn.sigmoid(out)
 
 
+class HierarchicalDiscriminator(nn.Module):
+    """GRU discriminator variant (reference hierarchy_net.py:153-194) —
+    structurally the trimodal Discriminator; kept for checkpoint parity."""
+    input_size: int
+    n_poses: int = 34
+    hidden_size: int = 300
+    n_layers: int = 4
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, poses: jnp.ndarray, in_text=None, train: bool = False):
+        out, _ = GRU(self.hidden_size, self.n_layers, bidirectional=True,
+                     dropout_rate=self.dropout)(poses,
+                                                deterministic=not train)
+        out = out[..., :self.hidden_size] + out[..., self.hidden_size:]
+        out = nn.Dense(1)(out)[..., 0]
+        out = nn.Dense(1)(out)
+        return jax.nn.sigmoid(out)
+
+
 class HierarchicalTextEncoder(nn.Module):
     """TextEncoderTCN variant returning features only (hierarchy_net.py:22-52)."""
     n_words: int
