@@ -1,0 +1,101 @@
+"""Import reference trimodal PoseGenerator checkpoints into flax.
+
+Counterpart of reference load_checkpoint.py:19-45: HA2G-format checkpoints
+carry `gen_dict` (a multimodal_context_net.PoseGenerator state dict) plus
+`args`/`lang_model`/`speaker_model`/`pose_dim`; this converts gen_dict into
+the flax PoseGenerator variable tree (models/multimodal_context.py).
+
+Layout rules as in torch_import.py, plus:
+  torch weight-norm conv: weight_v (out, in, k) -> v (k, in, out);
+                          weight_g (out, 1, 1)  -> g (out,)
+  torch GRU tensors keep their names (w_ih_l0, ...) — our GRU uses the
+  torch parameter layout natively.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from hop_tpu.eval.torch_import import _lin, _conv, _bn
+
+
+def _wn_conv(sd: Dict, name: str) -> dict:
+    return {
+        "v": np.asarray(sd[name + ".weight_v"]).transpose(2, 1, 0),
+        "g": np.asarray(sd[name + ".weight_g"]).reshape(-1),
+        "b": np.asarray(sd[name + ".bias"]),
+    }
+
+
+def convert_text_encoder_tcn(sd: Dict, prefix: str, n_levels: int = 4
+                             ) -> dict:
+    """TextEncoderTCN (multimodal_context_net.py:33-63) -> flax tree."""
+    tcn = {}
+    for i in range(n_levels):
+        base = f"{prefix}tcn.network.{i}"
+        block = {
+            "WeightNormConv1d_0": _wn_conv(sd, f"{base}.conv1"),
+            "WeightNormConv1d_1": _wn_conv(sd, f"{base}.conv2"),
+        }
+        if f"{base}.downsample.weight" in sd:
+            block["Conv_0"] = _conv(sd, f"{base}.downsample")
+        tcn[f"TemporalBlock_{i}"] = block
+    return {
+        "embedding": np.asarray(sd[f"{prefix}embedding.weight"]),
+        "TemporalConvNet_0": tcn,
+        "Dense_0": _lin(sd, f"{prefix}decoder"),
+    }
+
+
+def convert_wav_encoder(sd: Dict, prefix: str) -> tuple:
+    """WavEncoder (multimodal_context_net.py:10-30) -> (params, stats)."""
+    params, stats = {}, {}
+    conv_idx = [0, 3, 6, 9]
+    bn_idx = [1, 4, 7]
+    for j, ci in enumerate(conv_idx):
+        params[f"Conv_{j}"] = _conv(sd, f"{prefix}feat_extractor.{ci}")
+    for j, bi in enumerate(bn_idx):
+        p, s = _bn(sd, f"{prefix}feat_extractor.{bi}")
+        params[f"BatchNorm_{j}"] = {"BatchNorm_0": p}
+        stats[f"BatchNorm_{j}"] = {"BatchNorm_0": s}
+    return params, stats
+
+
+def convert_gru(sd: Dict, prefix: str, n_layers: int, bidirectional: bool
+                ) -> dict:
+    out = {}
+    for layer in range(n_layers):
+        for sfx in ([""] if not bidirectional else ["", "_reverse"]):
+            for t in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                torch_name = f"{prefix}{t}_l{layer}{sfx}"
+                flax_name = (t.replace("weight_", "w_").replace("bias_", "b_")
+                             + f"_l{layer}{sfx}")
+                out[flax_name] = np.asarray(sd[torch_name])
+    return out
+
+
+def convert_pose_generator(sd: Dict, n_layers: int = 4) -> dict:
+    """gen_dict -> flax PoseGenerator variables (speaker-conditioned,
+    input_context='both')."""
+    params, stats = {}, {}
+
+    wav_p, wav_s = convert_wav_encoder(sd, "audio_encoder.")
+    params["WavEncoder_0"] = wav_p
+    stats["WavEncoder_0"] = wav_s
+
+    params["TextEncoderTCN_0"] = convert_text_encoder_tcn(sd, "text_encoder.")
+
+    params["SpeakerLatent_0"] = {
+        "Embed_0": {"embedding": np.asarray(sd["speaker_embedding.0.weight"])},
+        "Dense_0": _lin(sd, "speaker_embedding.1"),
+        "Dense_1": _lin(sd, "speaker_mu"),
+        "Dense_2": _lin(sd, "speaker_logvar"),
+    }
+
+    params["GRU_0"] = convert_gru(sd, "gru.", n_layers, bidirectional=True)
+    params["Dense_0"] = _lin(sd, "out.0")
+    params["Dense_1"] = _lin(sd, "out.2")
+
+    return {"params": params, "batch_stats": stats}

@@ -54,7 +54,7 @@ class CheckpointManager:
         if template is not None:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore({"state": template}))
-        return self._mgr.restore(step)
+        return _unbox_partitioned(self._mgr.restore(step))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -71,6 +71,19 @@ class CheckpointManager:
             best[f"{metric_name}_step"] = step
             self._best_path.write_text(json.dumps(best, indent=1))
         return improved
+
+
+def _unbox_partitioned(tree: Any) -> Any:
+    """Template-free orbax restores turn flax nn.Partitioned boxes into
+    {'value': array} dicts (the 'names' metadata isn't an array); collapse
+    them back to plain arrays."""
+    if isinstance(tree, dict):
+        if set(tree.keys()) == {"value"}:
+            return _unbox_partitioned(tree["value"])
+        return {k: _unbox_partitioned(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_unbox_partitioned(v) for v in tree)
+    return tree
 
 
 def save_arrays(path: str, tree: Any):
