@@ -21,6 +21,33 @@ from hop_tpu.data.preprocessor import get_words_in_time_range
 from hop_tpu.ops import mel as mel_ops
 
 
+def compile_forward(model, variables, cfg: Config, batch_size: int = 1):
+    """AOT-compile the HOP generation forward for serving.
+
+    Returns a compiled executable with fixed shapes (no retracing at request
+    time); the per-window host work in generate_long_form is then pure
+    numpy slicing.
+    """
+    d = cfg.data
+
+    def forward(in_audio, log_mel, text, pre_seq, vid, rng):
+        out, *_ = model.apply(variables, in_audio, log_mel, text, pre_seq,
+                              vid, rng=rng, train=False)
+        return out
+
+    shapes = (
+        jax.ShapeDtypeStruct((batch_size, int(d.n_poses / d.pose_resampling_fps
+                                              * d.sample_rate)), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, d.n_poses, d.mel_bins), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, d.n_poses), jnp.int32),
+        jax.ShapeDtypeStruct((batch_size, d.n_seed_frames, d.pose_dim),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
+    return jax.jit(forward).lower(*shapes).compile()
+
+
 def generate_long_form(cfg: Config,
                        forward_fn: Callable,
                        clip_audio: np.ndarray,
