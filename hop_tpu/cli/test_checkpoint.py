@@ -79,11 +79,17 @@ def main(argv=None):
     else:
         print("no checkpoint found — using random init")
 
+    # pass the variables as a runtime argument — closing over them would
+    # bake ~500MB of weights into the HLO as constants (the tunneled
+    # remote-compile service rejects such payloads)
     @jax.jit
-    def forward(in_audio, log_mel, text, pre_seq, vid, rng):
-        out, *_ = model.apply(variables, in_audio, log_mel, text, pre_seq,
+    def _fwd(v, in_audio, log_mel, text, pre_seq, vid, rng):
+        out, *_ = model.apply(v, in_audio, log_mel, text, pre_seq,
                               vid, rng=rng, train=False)
         return out
+
+    def forward(in_audio, log_mel, text, pre_seq, vid, rng):
+        return _fwd(variables, in_audio, log_mel, text, pre_seq, vid, rng)
 
     out_dir_vec = generate_long_form(
         cfg, forward, clip.audio_raw, clip.words, seed_vec, lang,

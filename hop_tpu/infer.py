@@ -30,12 +30,17 @@ def compile_forward(model, variables, cfg: Config, batch_size: int = 1):
     """
     d = cfg.data
 
-    def forward(in_audio, log_mel, text, pre_seq, vid, rng):
-        out, *_ = model.apply(variables, in_audio, log_mel, text, pre_seq,
+    # weights enter as a runtime argument (constants would bloat the HLO)
+    def forward(v, in_audio, log_mel, text, pre_seq, vid, rng):
+        out, *_ = model.apply(v, in_audio, log_mel, text, pre_seq,
                               vid, rng=rng, train=False)
         return out
 
+    var_shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        variables)
     shapes = (
+        var_shapes,
         jax.ShapeDtypeStruct((batch_size, int(d.n_poses / d.pose_resampling_fps
                                               * d.sample_rate)), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, d.n_poses, d.mel_bins), jnp.float32),
@@ -45,7 +50,8 @@ def compile_forward(model, variables, cfg: Config, batch_size: int = 1):
         jax.ShapeDtypeStruct((batch_size,), jnp.int32),
         jax.ShapeDtypeStruct((2,), jnp.uint32),
     )
-    return jax.jit(forward).lower(*shapes).compile()
+    compiled = jax.jit(forward).lower(*shapes).compile()
+    return lambda *args: compiled(variables, *args)
 
 
 def generate_long_form(cfg: Config,
