@@ -59,6 +59,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="tensor-parallel degree for the frozen LLM kernels")
     p.add_argument("--synthetic-videos", type=int, default=3)
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint from --checkpoint-dir "
+                        "before training (params, optimizer state, stats)")
     return p
 
 

@@ -252,6 +252,11 @@ def train_main(cfg: Config, args) -> float:
     ckpt.metadata = {"model": args.model, "dataset": cfg.data.dataset,
                      "n_speakers": n_speakers, "n_words": lang.n_words}
 
+    if getattr(args, "resume", False) and ckpt.latest_step() is not None:
+        restored = ckpt.restore(template=state)
+        state = restored["state"]
+        print(f"resumed from checkpoint step {ckpt.latest_step()}")
+
     # optional SPMD: shard the batch over a 'data' axis (and the frozen LLM
     # kernels over 'model' when requested); the jitted steps are layout
     # -polymorphic, XLA inserts the gradient psums.
