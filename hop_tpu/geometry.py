@@ -257,10 +257,6 @@ def resample_pose_seq(poses: np.ndarray, duration_in_sec: float,
     flat = poses.reshape(n, -1).astype(np.float64)
     # linear extrapolation beyond the last sample, like scipy interp1d
     # with fill_value='extrapolate'
-    def seg(i0, i1):
-        i0c = np.clip(i0, 0, n - 1)
-        i1c = np.clip(i1, 0, n - 1)
-        return flat[i0c], flat[i1c]
     lo = np.clip(x0, 0, n - 2)
     y0 = flat[lo]
     y1 = flat[lo + 1]

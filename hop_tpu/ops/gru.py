@@ -34,7 +34,6 @@ def _gru_layer_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
     w_hh:   (3H, H) torch layout;  b_hh: (3H,);  h0: (B, H)
     Returns (B, T, H) hidden states.
     """
-    hidden = h0.shape[-1]
     w_hh_t = w_hh.T  # (H, 3H)
 
     def step(h, xp):
@@ -49,7 +48,6 @@ def _gru_layer_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H)
     _, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=4)
-    del hidden
     return jnp.swapaxes(ys, 0, 1)
 
 

@@ -32,10 +32,11 @@ from hop_tpu.train.state import GANTrainState, adam, adam_with_frozen
 def _gen_apply(model, params, stats, batch, rng, vids, train=True):
     rng_z, rng_drop = jax.random.split(rng)
     variables = {"params": params, "batch_stats": stats}
+    n_seed = model.cfg.data.n_seed_frames
     (out, z, mu, logvar), updates = model.apply(
         variables,
         batch["in_audio"], batch["log_mel"], batch["text_padded"],
-        batch["target_vec"][:, :16], vids,
+        batch["target_vec"][:, :n_seed], vids,
         rng=rng_z, train=train,
         rngs={"dropout": rng_drop},
         mutable=["batch_stats"])
@@ -147,7 +148,7 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
         (out, out_rand, (z, mu, logvar), z_rand), upd = model.apply(
             {"params": gen_params, "batch_stats": gen_stats},
             batch["in_audio"], batch["log_mel"], batch["text_padded"],
-            batch["target_vec"][:, :16], vids, rand_vids,
+            batch["target_vec"][:, :cfg.data.n_seed_frames], vids, rand_vids,
             rng=rng_z, train=True, rngs={"dropout": rng_drop},
             mutable=["batch_stats"],
             method="two_speaker_forward")
