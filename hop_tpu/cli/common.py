@@ -117,8 +117,12 @@ def device_batch(batch: dict, cfg: Config, with_mel: bool = True) -> dict:
         (np.arange(T)[None] < batch["text_lengths"][:, None])
         .astype(np.float32))
     # the live HOP path feeds vocab word ids as LLM token ids
-    # (run_ted.py:400); clamp into the LLM vocab
-    out["text_padded"] = out["text_padded"] % cfg.llm.vocab_size
+    # (run_ted.py:400); clamp into the LLM vocab. use_hf_token_stream
+    # switches to the HF tokenizer ids instead.
+    if cfg.data.use_hf_token_stream and "text_tokens" in out:
+        out["text_padded"] = out["text_tokens"] % cfg.llm.vocab_size
+    else:
+        out["text_padded"] = out["text_padded"] % cfg.llm.vocab_size
     return out
 
 

@@ -34,6 +34,10 @@ class DataConfig:
     wordembed_dim: int = 300
     max_text_tokens: int = 2048
     remove_word_timing: bool = True      # run_ted.py passes truthy ('text')
+    # The reference's live path feeds fasttext-vocab ids into the LLM
+    # embedding table (run_ted.py:400 passes in_text_padded); set True to
+    # use the HF tokenizer id stream the dataset also produces.
+    use_hf_token_stream: bool = False
     # reference DataPreprocessor only ingests the first 50% of videos
     # (data_preprocessor.py:56-57); kept as an opt-in parity flag.
     truncate_videos_frac: float = 1.0
