@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--data", default="synthetic")
     p.add_argument("--out", default="./output")
     p.add_argument("--render-video", action="store_true")
+    p.add_argument("--evaluate", action="store_true",
+                   help="after generation, run the full validation metrics "
+                        "(L1/MAE/FGD/BC/diversity) like the reference's "
+                        "test_checkpoint.py:526-545")
     p.add_argument("--seed", type=int, default=2021)
     args = p.parse_args(argv)
 
@@ -98,6 +102,31 @@ def main(argv=None):
           f"({out_dir_vec.shape[0] / cfg.data.pose_resampling_fps:.1f}s)")
 
     np.save(f"{args.out}_dir_vec.npy", out_dir_vec)
+
+    if args.evaluate:
+        from hop_tpu.data.dataset import SpeechMotionDataset
+        from hop_tpu.data.preprocessor import DataPreprocessor
+        from hop_tpu.eval.evaluate import evaluate_testset
+        import tempfile
+        tmp = tempfile.mkdtemp(prefix="hop_eval_")
+        DataPreprocessor(cfg.data, tmp + "/val").run(videos)
+        val_ds = SpeechMotionDataset(tmp + "/val", cfg.data)
+        val_ds.set_lang_model(lang)
+        evaluator = C.make_fgd_evaluator(cfg, lang.n_words, None)
+
+        def gen(batch, vids, rng_step):
+            return forward(batch["in_audio"], batch["log_mel"],
+                           batch["text_padded"], batch["target_vec"][
+                               :, :cfg.data.n_seed_frames], vids, rng_step)
+
+        batches = (C.device_batch(b, cfg)
+                   for b in val_ds.batches(min(8, len(val_ds)),
+                                           shuffle=False, drop_last=False))
+        result = evaluate_testset(
+            batches, gen, evaluator, epoch=cfg.loss.bc_start_epoch + 1,
+            cfg=cfg, n_speakers=n_speakers, rng=jax.random.PRNGKey(7))
+        print(str(result))
+
     if args.render_video:
         from hop_tpu.utils.render import create_video_and_save
         create_video_and_save(
