@@ -65,7 +65,7 @@ def main():
     state, metrics = gan_step(state, b, jax.random.PRNGKey(100))
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 20
+    n_steps = 50  # long enough to average out tunnel jitter
     start = time.perf_counter()
     for i in range(n_steps):
         state, metrics = gan_step(state, b, jax.random.PRNGKey(200 + i))
