@@ -7,6 +7,7 @@ poses, optional ffmpeg audio mux.
 
 from __future__ import annotations
 
+import shutil
 import subprocess
 import time
 from pathlib import Path
@@ -68,13 +69,24 @@ def create_video_and_save(save_path: str, iter_idx, prefix: str,
 
     ani = animation.FuncAnimation(fig, animate, frames=len(out_poses))
     Path(save_path).mkdir(parents=True, exist_ok=True)
+    have_ffmpeg = shutil.which("ffmpeg") is not None
+    ext = "mp4" if have_ffmpeg else "gif"  # PillowWriter fallback
     video_path = str(Path(save_path) /
-                     f"temp_{prefix}_{iter_idx}.mp4")
-    ani.save(video_path, fps=fps, dpi=80)
+                     f"temp_{prefix}_{iter_idx}.{ext}")
+    if have_ffmpeg:
+        ani.save(video_path, fps=fps, dpi=80)
+    else:
+        ani.save(video_path, dpi=80,
+                 writer=animation.PillowWriter(fps=fps))
     plt.close(fig)
 
-    final_path = str(Path(save_path) / f"{prefix}_{iter_idx}.mp4")
-    if audio is not None:
+    final_path = str(Path(save_path) / f"{prefix}_{iter_idx}.{ext}")
+    if audio is not None and not have_ffmpeg:
+        # still persist the audio next to the silent animation
+        _write_wav(str(Path(save_path) / f"{prefix}_{iter_idx}.wav"),
+                   np.asarray(audio), sample_rate)
+        Path(video_path).rename(final_path)
+    elif audio is not None:
         audio_path = str(Path(save_path) / f"{prefix}_{iter_idx}.wav")
         _write_wav(audio_path, np.asarray(audio), sample_rate)
         cmd = ["ffmpeg", "-loglevel", "panic", "-y", "-i", video_path,
