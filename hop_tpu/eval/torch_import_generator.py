@@ -76,6 +76,29 @@ def convert_gru(sd: Dict, prefix: str, n_layers: int, bidirectional: bool
     return out
 
 
+def convert_hierarchical_generator(sd: Dict, n_layers: int = 4,
+                                   tcn_levels: int = 4) -> dict:
+    """HA2G stage generator (hierarchy_net.Hierarchical_PoseGenerator,
+    :55-149) -> flax HierarchicalPoseGenerator variables. Consumed per
+    stage by the reference's 6-generator loader
+    (train_utils_expressive.py:191-226, keys gen_dict_1..6)."""
+    params = {
+        "TextEncoderTCN_0": convert_text_encoder_tcn(sd, "text_encoder.",
+                                                     tcn_levels),
+        "SpeakerLatent_0": {
+            "Embed_0": {"embedding":
+                        np.asarray(sd["speaker_embedding.0.weight"])},
+            "Dense_0": _lin(sd, "speaker_embedding.1"),
+            "Dense_1": _lin(sd, "speaker_mu"),
+            "Dense_2": _lin(sd, "speaker_logvar"),
+        },
+        "GRU_0": convert_gru(sd, "gru.", n_layers, bidirectional=True),
+        "Dense_0": _lin(sd, "out.0"),
+        "Dense_1": _lin(sd, "out.2"),
+    }
+    return {"params": params, "batch_stats": {}}
+
+
 def convert_pose_generator(sd: Dict, n_layers: int = 4) -> dict:
     """gen_dict -> flax PoseGenerator variables (speaker-conditioned,
     input_context='both')."""

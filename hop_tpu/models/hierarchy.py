@@ -103,8 +103,11 @@ class HierarchicalPoseGenerator(nn.Module):
                  audio_feat_seq: jnp.ndarray,
                  vid_indices: Optional[jnp.ndarray] = None,
                  *, rng: Optional[jax.Array] = None, train: bool = False):
-        text_feat = TextEncoderTCN(n_words=self.n_words,
-                                   dropout=self.dropout)(in_text, train)
+        # reference hierarchy_net.py:36: TCN channels [hidden_size]*n_layers
+        text_feat = TextEncoderTCN(
+            n_words=self.n_words,
+            num_channels=(self.hidden_size,) * self.n_layers,
+            dropout=self.dropout)(in_text, train)
         z_context, z_mu, z_logvar = common.SpeakerLatent(
             self.n_speakers, self.z_size)(vid_indices, rng)
         in_data = jnp.concatenate([pre_seq, audio_feat_seq, text_feat],

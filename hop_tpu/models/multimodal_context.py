@@ -40,8 +40,11 @@ class PoseGenerator(nn.Module):
         if self.input_context in ("both", "audio"):
             feats_audio = common.WavEncoder()(in_audio, train)
         if self.input_context in ("both", "text"):
+            # reference multimodal_context_net.py:47: [hidden_size]*n_layers
             feats_text = TextEncoderTCN(
-                n_words=self.n_words, dropout=self.dropout)(in_text, train)
+                n_words=self.n_words,
+                num_channels=(self.hidden_size,) * self.n_layers,
+                dropout=self.dropout)(in_text, train)
         if self.input_context == "both":
             feats = [pre_seq, feats_audio, feats_text]
         elif self.input_context == "audio":
