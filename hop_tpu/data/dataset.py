@@ -142,9 +142,15 @@ class SpeechMotionDataset:
             words = aux["words"]
             duration = aux["end_time"] - aux["start_time"]
             frames_ext = self.schema.n_frames_ext
+            # The reference clips the extended window to n_poses frames and
+            # aligns words against the CLIPPED end time: extend_word_seq is
+            # called with sample_end_time (lmdb_data_loader.py:206,234), so
+            # frame_duration there is (sample_end_time - start_time)/n_frames
+            # (:136). Passing the extended end_time would stretch every
+            # word-to-frame index by n_frames_ext/n_poses (~1.24x).
             sample_end_time = aux["start_time"] + duration * n / frames_ext
             w, t = self._align_words(words, aux["start_time"],
-                                     aux["end_time"])
+                                     sample_end_time)
             text_padded[bi], text_tokens[bi] = w, t
             ws = self._word_seq(words, sample_end_time)[:max_words]
             word_seq[bi, :len(ws)] = ws

@@ -61,14 +61,19 @@ class EmbeddingSpaceEvaluator:
 
     def get_diversity_scores(self, rng: Optional[np.random.Generator] = None,
                              n: int = 500):
-        """Mean feature L1 between the first n generated windows and a
-        random shuffle of them (reference :498-508)."""
-        gen = jnp.concatenate(self._gen_feats, axis=0)
-        feat1 = gen[:n]
+        """Mean feature L1 between the first n generated BATCH blocks and a
+        random permutation of the batch blocks (reference :498-508: vstack of
+        generated_feat_list[:500] vs vstack of a randperm over the batch
+        list). The shuffle granularity is whole batches, not rows."""
+        feats = [np.asarray(f) for f in self._gen_feats]
+        feat1 = np.vstack(feats[:n])
         rng = rng or np.random.default_rng(0)
-        perm = rng.permutation(gen.shape[0])[: feat1.shape[0]]
-        feat2 = gen[jnp.asarray(perm)]
-        return float(jnp.mean(jnp.sum(jnp.abs(feat1 - feat2), axis=-1)))
+        perm = rng.permutation(len(feats))[:n]
+        feat2 = np.vstack([feats[x] for x in perm])
+        # the reference assumes equal-size batches (drop_last=True loaders);
+        # guard the ragged-tail case instead of crashing like :507 would
+        m = min(feat1.shape[0], feat2.shape[0])
+        return float(np.mean(np.sum(np.abs(feat1[:m] - feat2[:m]), axis=-1)))
 
 
 def make_ted_feature_fn(net, variables):

@@ -101,11 +101,28 @@ def generate_long_form(cfg: Config,
 
         words = get_words_in_time_range(clip_words, start_time, end_time)
         frame_dur = unit_time / n_frames
-        word_ids = np.zeros(n_frames, np.int64)
-        for w in words:
-            idx = max(0, int(np.floor((w[1] - start_time) / frame_dur)))
-            if idx < n_frames:
-                word_ids[idx] = lang_model.get_word_index(w[0])
+        if tokenizer is not None and d.use_hf_token_stream:
+            # HOP is driven by HF tokenizer ids, not fasttext-vocab ids
+            # (test_checkpoint.py:438-446): tokenize the window text
+            # (add_special_tokens=False, truncated), then scatter token ids
+            # to frame slots indexed by the word's position in the window
+            # (the reference uses w_i, not the number placed so far) and
+            # stop once the token stream is exhausted.
+            hf_ids = tokenizer(" ".join(w[0] for w in words))
+            hf_ids = hf_ids[: d.max_text_tokens]
+            word_ids = np.zeros(n_frames, np.int64)
+            for w_i, w in enumerate(words):
+                if w_i >= len(hf_ids):
+                    break
+                idx = max(0, int(np.floor((w[1] - start_time) / frame_dur)))
+                if idx < n_frames:
+                    word_ids[idx] = hf_ids[w_i]
+        else:
+            word_ids = np.zeros(n_frames, np.int64)
+            for w in words:
+                idx = max(0, int(np.floor((w[1] - start_time) / frame_dur)))
+                if idx < n_frames:
+                    word_ids[idx] = lang_model.get_word_index(w[0])
         text = jnp.asarray(word_ids)[None]
 
         if a > 0:

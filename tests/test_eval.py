@@ -48,6 +48,26 @@ def test_fgd_evaluator_ted(rng):
     assert abs(fd_same) < 1e-2
 
 
+def test_diversity_matches_reference_transcription(rng):
+    """Pin the batch-block diversity definition against an independent
+    torch transcription of EmbeddingSpaceEvaluator.get_diversity_scores
+    (reference :498-508) on the same fixed permutation."""
+    ev = _ted_evaluator(rng)
+    feats = [rng.normal(size=(8, 32)).astype(np.float32) for _ in range(5)]
+    ev._gen_feats = [jnp.asarray(f) for f in feats]
+
+    seed_rng = np.random.default_rng(7)
+    ours = ev.get_diversity_scores(rng=np.random.default_rng(7))
+
+    perm = seed_rng.permutation(len(feats))[:500]  # same draw as above
+    import torch
+    feat_list = [torch.from_numpy(f) for f in feats]
+    feat1 = np.vstack([f.numpy() for f in feat_list[:500]])
+    feat2 = np.vstack([feat_list[x].numpy() for x in perm])
+    expected = np.mean(np.sum(np.absolute(feat1 - feat2), axis=-1))
+    assert ours == pytest.approx(float(expected), rel=1e-6)
+
+
 def test_fgd_evaluator_expressive(rng):
     net = MotionAE(pose_dim=126, latent_dim=32)
     poses = jnp.asarray(rng.normal(size=(2, 34, 126)).astype(np.float32))

@@ -49,6 +49,40 @@ def test_generate_long_form_stitching(rng):
     assert np.all(np.isfinite(out))
 
 
+def test_generate_long_form_hf_token_stream(rng):
+    """With use_hf_token_stream, windows are driven by tokenizer ids placed
+    at word frame slots (test_checkpoint.py:438-446), not vocab ids."""
+    import dataclasses
+    cfg = ted_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, use_hf_token_stream=True))
+    sr = cfg.data.sample_rate
+    audio = rng.normal(size=int(3.0 * sr)).astype(np.float32) * 0.01
+    words = [("hello", 0.5, 0.8), ("world", 1.5, 1.9)]
+    lang = Vocab("w")
+    lang.add_vocab([w[0] for w in words])
+    seed = rng.normal(size=(16, 27)).astype(np.float32)
+
+    texts = []
+
+    def forward(in_audio, log_mel, text, pre_seq, vid, rng_step):
+        texts.append(np.asarray(text).copy())
+        return jnp.zeros((1, 34, 27))
+
+    def tok(text):  # 500-offset ids, one per word
+        return [500 + i for i, _ in enumerate(text.split())]
+
+    generate_long_form(cfg, forward, audio, words, seed, lang,
+                       vid_index=0, tokenizer=tok)
+    first = texts[0][0]
+    frame_dur = (34 / 15) / 34
+    assert first[int(np.floor(0.5 / frame_dur))] == 500
+    assert first[int(np.floor(1.5 / frame_dur))] == 501
+    # nothing from the fasttext vocab id space leaked in
+    placed = first[first > 0]
+    assert (placed >= 500).all()
+
+
 def test_h36m_loader(rng):
     # fabricate positions for two subjects, 32 joints
     positions = {
