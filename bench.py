@@ -8,23 +8,64 @@ BiGRU(350), ConvDiscriminator) running the complete GAN-phase step: three
 generator forwards, three discriminator forwards, both optimizer updates
 (train_eval/train_llm.py:15-86).
 
-vs_baseline: the reference repo publishes no throughput numbers (it only
-prints `speed: s/iter` at runtime, run_ted.py:436, on unspecified hardware).
-We normalise against a nominal 1.0 s/iter PyTorch-reference estimate for
-this 41M-param model at batch 256 on the reference's single-GPU setup;
-BASELINE.md records that this is an estimate until a measured figure exists.
+vs_baseline: the reference publishes no throughput numbers (it only prints
+`speed: s/iter` at runtime, run_ted.py:436, on an unspecified CUDA GPU).
+The denominator here is MEASURED: benchmarks/measure_reference.py runs the
+reference's own torch code on this host's CPU at the same batch size
+(recorded in benchmarks/BASELINE_MEASURED.json), and the committed
+same-host torch-CPU vs JAX-CPU ratio plus a documented GPU-uplift bound
+convert it into a defensible GPU-equivalent estimate — see BASELINE.md
+"Measured baseline" for the derivation. If no measured entry exists for the
+chosen batch size, vs_baseline is null rather than an assumed constant.
+
+Usage: python bench.py [--platform cpu] [--batch-size 256] [--steps 50]
 """
 
+import argparse
 import json
+import os
 import time
 
-import jax
-import numpy as np
 
-PYTORCH_BASELINE_STEPS_PER_SEC = 1.0  # nominal 1.0 s/iter (see docstring)
+def load_measured_baseline(batch_size):
+    """(steps_per_sec, description) for the baseline denominator, or
+    (None, reason). benchmarks/BASELINE_MEASURED.json is produced by
+    benchmarks/measure_reference.py running the reference's own torch code:
+    `gpu_speed_of_light_bs{N}` = counted step FLOPs / V100 fp32 peak — the
+    FASTEST the reference could possibly run on its hardware class, so
+    vs_baseline is a lower bound on the true speedup. Falls back to the
+    measured torch-CPU s/iter on this host."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "BASELINE_MEASURED.json")
+    if not os.path.exists(path):
+        return None, "no measured baseline file"
+    with open(path) as f:
+        data = json.load(f)
+    sol = data.get(f"gpu_speed_of_light_bs{batch_size}")
+    if sol is not None:
+        return sol["value"], sol.get("note", "GPU speed-of-light bound")
+    entry = data.get(f"torch_cpu_bs{batch_size}")
+    if entry is None:
+        return None, f"no measured entry for bs{batch_size}"
+    return (1.0 / entry["value"],
+            f"measured torch-CPU {entry['value']:.2f} s/iter (same host)")
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"),
+                   help="force a JAX platform (default: what the image has)")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=50,
+                   help="timed steps (50 averages out TPU tunnel jitter)")
+    args = p.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     import jax.numpy as jnp
     from hop_tpu.config import ted_config
     from hop_tpu.data import synthetic
@@ -32,7 +73,7 @@ def main():
     from hop_tpu.models.multimodal_context import ConvDiscriminator
     from hop_tpu.train.llm import make_hop_train_steps
 
-    batch_size = 256
+    batch_size = args.batch_size
     # parity-mode step (the reference's exact 3-forward structure); the
     # fused variant (hop.fused_step=True) measures within noise of this —
     # the recurrent head's backward dominates either way.
@@ -65,7 +106,7 @@ def main():
     state, metrics = gan_step(state, b, jax.random.PRNGKey(100))
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 50  # long enough to average out tunnel jitter
+    n_steps = args.steps
     start = time.perf_counter()
     for i in range(n_steps):
         state, metrics = gan_step(state, b, jax.random.PRNGKey(200 + i))
@@ -73,11 +114,16 @@ def main():
     elapsed = time.perf_counter() - start
 
     steps_per_sec = n_steps / elapsed
+    baseline_sps, note = load_measured_baseline(batch_size)
+    platform = jax.devices()[0].platform
     print(json.dumps({
-        "metric": "hop_ted_gan_train_steps_per_sec_per_chip_bs256",
+        "metric": f"hop_ted_gan_train_steps_per_sec_per_chip_bs{batch_size}",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / PYTORCH_BASELINE_STEPS_PER_SEC, 4),
+        "vs_baseline": (round(steps_per_sec / baseline_sps, 4)
+                        if baseline_sps else None),
+        "baseline_note": note,
+        "platform": platform,
     }))
 
 

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 from hop_tpu.config import LLMConfig
 from hop_tpu.models.bert import BertEncoder, convert_hf_bert_params
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def hf_and_flax():

@@ -1,5 +1,6 @@
 """Reproducibility: identical seeds give identical training trajectories."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -35,12 +36,14 @@ def _run(seed):
     return losses
 
 
+@pytest.mark.slow
 def test_same_seed_same_trajectory():
     a = _run(100)
     b = _run(100)
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_different_seed_different_noise():
     a = _run(100)
     b = _run(999)

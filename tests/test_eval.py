@@ -26,6 +26,7 @@ def _ted_evaluator(rng):
     return EmbeddingSpaceEvaluator(make_ted_feature_fn(net, variables))
 
 
+@pytest.mark.slow
 def test_fgd_evaluator_ted(rng):
     ev = _ted_evaluator(rng)
     for seed in range(3):
@@ -96,6 +97,7 @@ def test_motion_beat_threshold():
     assert not mask.any()
 
 
+@pytest.mark.slow
 def test_beat_consistency_runs(rng):
     cfg = tiny_test_config("TED")
     batch = synthetic.make_batch(cfg, 3, seed=1)
@@ -112,6 +114,7 @@ def test_joint_mae_zero_for_identical(rng):
     assert float(MET.joint_mae(v, v, G.TED_SKELETON)) == 0.0
 
 
+@pytest.mark.slow
 def test_evaluate_testset_end_to_end(rng):
     cfg = tiny_test_config("TED")
     ev = _ted_evaluator(rng)

@@ -23,6 +23,7 @@ def _copy_torch_gru_params(tg, flax_params):
 
 @pytest.mark.parametrize("bidirectional", [False, True])
 @pytest.mark.parametrize("num_layers", [1, 4])
+@pytest.mark.slow
 def test_gru_matches_torch(rng, bidirectional, num_layers):
     torch.manual_seed(0)
     in_dim, hidden, batch, T = 12, 17, 3, 9
@@ -45,6 +46,7 @@ def test_gru_matches_torch(rng, bidirectional, num_layers):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gru_initial_hidden(rng):
     torch.manual_seed(1)
     in_dim, hidden, batch, T = 5, 7, 2, 6
@@ -62,6 +64,7 @@ def test_gru_initial_hidden(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gru_cell_matches_torch(rng):
     torch.manual_seed(2)
     in_dim, hidden, batch = 6, 11, 4

@@ -3,6 +3,7 @@ transcription of the same math (adaptive adjacency, gated dilated temporal
 convs, order-2 diffusion GCN, skip/residual, end convs) using the flax
 module's own weights."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -70,6 +71,7 @@ def _torch_gwnet_forward(params, x_np, num_nodes, blocks=2, layers=2,
     return out.permute(0, 3, 2, 1).numpy()  # back to (B, T, N, C)
 
 
+@pytest.mark.slow
 def test_gwnet_matches_torch_transcription(rng):
     B, T, N, C = 2, 16, 9, 12
     m = GraphWaveNet(num_nodes=N, in_dim=C, out_dim=C,

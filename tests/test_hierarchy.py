@@ -25,6 +25,7 @@ def test_pixel_shuffle_matches_torch(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_resnet_se_shapes(rng):
     spec = rng.normal(size=(2, 128, 70)).astype(np.float32)
     vids = rng.integers(0, 5, size=(2,))
@@ -51,6 +52,7 @@ def test_stage_bone_tables(dataset):
     assert bones[-1] == tuple(range(n))
 
 
+@pytest.mark.slow
 def test_route_pre_seq_matches_reference_slices(rng):
     """Stage-2 TED routing must equal the hand-written reference slices
     (train_hierarchy.py:105-110)."""
@@ -71,6 +73,7 @@ def test_route_pre_seq_matches_reference_slices(rng):
     assert np.all(pre[:, :4, -1] == 1)
 
 
+@pytest.mark.slow
 def test_softmax_contrastive_prefers_aligned(rng):
     f = rng.normal(size=(16, 8)).astype(np.float32)
     aligned = float(softmax_contrastive(jnp.asarray(f), jnp.asarray(f)))
@@ -79,6 +82,7 @@ def test_softmax_contrastive_prefers_aligned(rng):
     assert aligned < shuffled
 
 
+@pytest.mark.slow
 def test_physical_loss_expressive_runs(rng):
     from hop_tpu import geometry as G
     from hop_tpu.train import hierarchy_expressive_stats as hx
@@ -89,6 +93,7 @@ def test_physical_loss_expressive_runs(rng):
     assert np.isfinite(val) and val > 0
 
 
+@pytest.mark.slow
 def test_hierarchy_train_step_ted():
     cfg = tiny_test_config("TED")
     cfg = cfg.replace(loss=dataclasses.replace(

@@ -1,5 +1,6 @@
 """Expressive (6-stage) hierarchy: routing parity + full train step."""
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -44,6 +45,7 @@ def test_expressive_routing_matches_reference_slices(rng):
     assert np.all(pre[:, 4:, 18:21] == 0)
 
 
+@pytest.mark.slow
 def test_expressive_hierarchy_train_step():
     cfg = tiny_test_config("TED_expressive")
     cfg = cfg.replace(loss=dataclasses.replace(
@@ -92,6 +94,7 @@ def test_expressive_hierarchy_train_step():
         assert np.isfinite(float(m[k])), k
 
 
+@pytest.mark.slow
 def test_hierarchical_gru_discriminator(rng):
     m = H.HierarchicalDiscriminator(input_size=27, hidden_size=16, n_layers=2)
     poses = jnp.asarray(rng.normal(size=(2, 34, 27)).astype(np.float32))

@@ -27,6 +27,7 @@ def _make_inputs(rng, cfg, B=2):
 
 
 @pytest.mark.parametrize("dataset", ["TED", "TED_expressive"])
+@pytest.mark.slow
 def test_hop_forward_shapes(rng, dataset):
     cfg = tiny_test_config(dataset)
     model = HOPModel(cfg, n_speakers=7)
@@ -40,6 +41,7 @@ def test_hop_forward_shapes(rng, dataset):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_gwnet_time_shrink(rng):
     m = GraphWaveNet(num_nodes=9, in_dim=173, out_dim=173,
                      residual_channels=8, dilation_channels=8,
@@ -51,6 +53,7 @@ def test_gwnet_time_shrink(rng):
     assert y.shape == (1, 4, 9, 173)
 
 
+@pytest.mark.slow
 def test_beat_gather_matches_torch_view(rng):
     """The (t*N+n) % 16 gather must equal torch's repeat+view scramble."""
     cfg = tiny_test_config("TED")

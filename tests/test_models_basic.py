@@ -66,6 +66,7 @@ def test_text_encoder_shape(rng):
     assert y.shape == (2, 34, 32)
 
 
+@pytest.mark.slow
 def test_pose_generator_shapes(rng):
     B, T, D = 2, 34, 27
     pre_seq = rng.normal(size=(B, T, D + 1)).astype(np.float32)
@@ -95,6 +96,7 @@ def test_conv_discriminator(rng):
     assert np.all((np.asarray(y) > 0) & (np.asarray(y) < 1))
 
 
+@pytest.mark.slow
 def test_text_discriminator(rng):
     poses = rng.normal(size=(2, 34, 27)).astype(np.float32)
     m = Discriminator(input_size=27, hidden_size=24, n_layers=2)
@@ -103,6 +105,7 @@ def test_text_discriminator(rng):
     assert y.shape == (2, 1)
 
 
+@pytest.mark.slow
 def test_seq2seq_shapes_and_teacher_forcing(rng):
     B, T, D = 2, 34, 27
     text = rng.integers(1, 30, size=(B, 12))

@@ -11,6 +11,7 @@ from hop_tpu.ops.pallas_gru import gru_forward_pallas, pallas_gru_layer
 
 
 @pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.slow
 def test_pallas_gru_matches_scan(rng, bidirectional):
     B, T, in_dim, H, layers = 5, 9, 12, 16, 2
     x = rng.normal(size=(B, T, in_dim)).astype(np.float32)

@@ -46,6 +46,7 @@ def test_mesh_creation():
     assert mesh.axis_names == ("data", "model")
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     cfg, b, warmup, gan, init_state, gen_vars, dis_vars = _setup()
 
@@ -81,6 +82,7 @@ def test_sharded_step_matches_single_device():
         assert diff.max() < 1e-3, (path, diff.max())
 
 
+@pytest.mark.slow
 def test_gan_step_runs_sharded():
     cfg, b, warmup, gan, init_state, gen_vars, dis_vars = _setup()
     mesh = create_mesh(8, 1)

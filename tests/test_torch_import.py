@@ -70,6 +70,7 @@ def _torch_forward_decoder(mod, feat):
     return x.transpose(1, 2)
 
 
+@pytest.mark.slow
 def test_embedding_net_pose_import_matches(rng):
     torch.manual_seed(0)
     pose_dim = 27

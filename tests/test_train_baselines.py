@@ -1,5 +1,6 @@
 """Baseline train steps: trimodal GAN, seq2seq, speech2gesture, embed nets."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -38,6 +39,7 @@ def test_build_pre_seq():
     assert float(pre[0, 5, 0]) == 0.0 and float(pre[0, 2, 0]) == 1.0
 
 
+@pytest.mark.slow
 def test_trimodal_gan_step():
     cfg = tiny_test_config("TED")
     b = _batch(cfg)
@@ -62,6 +64,7 @@ def test_trimodal_gan_step():
         assert np.isfinite(float(m[k])), k
 
 
+@pytest.mark.slow
 def test_seq2seq_step():
     cfg = tiny_test_config("TED")
     b = _batch(cfg)
@@ -81,6 +84,7 @@ def test_seq2seq_step():
         jax.tree_util.tree_leaves(state.params)[0]))
 
 
+@pytest.mark.slow
 def test_speech2gesture_step():
     cfg = tiny_test_config("TED")
     b = _batch(cfg)
@@ -97,6 +101,7 @@ def test_speech2gesture_step():
         assert np.isfinite(float(m[k])), k
 
 
+@pytest.mark.slow
 def test_embed_step_and_motion_ae_step():
     cfg = tiny_test_config("TED")
     b = _batch(cfg)

@@ -1,5 +1,6 @@
 """HOP train step: runs, updates generator, keeps the LLM frozen."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -36,6 +37,7 @@ def _setup(dataset="TED", batch=4):
     return cfg, b, state, warmup, gan
 
 
+@pytest.mark.slow
 def test_warmup_step_updates_generator_not_llm():
     cfg, b, state, warmup, gan = _setup()
     llm_before = jax.tree_util.tree_map(np.asarray, state.gen_params["llm"])
@@ -55,6 +57,7 @@ def test_warmup_step_updates_generator_not_llm():
         np.testing.assert_array_equal(a, bb)
 
 
+@pytest.mark.slow
 def test_gan_step_updates_both():
     cfg, b, state, warmup, gan = _setup()
     dis_before = np.asarray(
@@ -67,6 +70,7 @@ def test_gan_step_updates_both():
     assert int(state2.step) == 1
 
 
+@pytest.mark.slow
 def test_two_steps_loss_finite():
     cfg, b, state, warmup, gan = _setup()
     for i in range(2):

@@ -1,5 +1,6 @@
 """Fused HOP train step (shared trunk + joint G/D backward)."""
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -36,6 +37,7 @@ def _setup(batch=4):
     return cfg, b, model, disc, gen_vars, dis_vars
 
 
+@pytest.mark.slow
 def test_two_speaker_forward_matches_single():
     """The fused trunk+head must equal two independent forwards when given
     identical speaker latents (deterministic mode)."""
@@ -58,6 +60,7 @@ def test_two_speaker_forward_matches_single():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_steps_run_and_update():
     cfg, b, model, disc, gen_vars, dis_vars = _setup()
     warmup, gan, init_state = make_hop_train_steps(cfg, model, disc)
