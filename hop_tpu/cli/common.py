@@ -58,6 +58,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tensor-parallel degree for the frozen LLM kernels")
     p.add_argument("--synthetic-videos", type=int, default=3)
+    p.add_argument("--wordembed-path", default=None,
+                   help="pretrained word vectors for the text encoders: a "
+                        ".npy matrix aligned with the built vocab (see "
+                        "data/fasttext_export.py) or a fastText .bin model "
+                        "(vectors computed on the fly); default random init "
+                        "(reference run_ted.py --wordembed_path)")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint from --checkpoint-dir "
@@ -94,11 +100,15 @@ def load_datasets(cfg: Config, args):
     train_ds = SpeechMotionDataset(train_path, cfg.data)
     val_ds = SpeechMotionDataset(val_path, cfg.data,
                                  speaker_model=train_ds.speaker_model)
+    source = getattr(args, "wordembed_path", None)
+    if source and source.endswith(".bin"):
+        from hop_tpu.data.fasttext_export import FastTextModel
+        source = FastTextModel(source).get_word_vector
     lang = build_vocab(
         "words",
         [[w for aux in ds._aux_cache for w in aux["words"]]
          for ds in (train_ds, val_ds)],
-        None, None, cfg.data.wordembed_dim)
+        None, source, cfg.data.wordembed_dim)
     train_ds.set_lang_model(lang)
     val_ds.set_lang_model(lang)
     return train_ds, val_ds, lang
@@ -144,7 +154,10 @@ def make_fgd_evaluator(cfg: Config, lang_n_words: int,
                              input_mode="pose")
         if eval_net_path:
             variables = _load_variables(eval_net_path, variables)
-        return EmbeddingSpaceEvaluator(make_ted_feature_fn(net, variables))
+        else:
+            _warn_untrained_eval_net()
+        return EmbeddingSpaceEvaluator(make_ted_feature_fn(net, variables),
+                                       trained=bool(eval_net_path))
     else:
         from hop_tpu.models.motion_ae import MotionAE
         net = MotionAE(pose_dim=pose_dim,
@@ -153,8 +166,19 @@ def make_fgd_evaluator(cfg: Config, lang_n_words: int,
         variables = net.init(rng, poses)
         if eval_net_path:
             variables = _load_variables(eval_net_path, variables)
+        else:
+            _warn_untrained_eval_net()
         return EmbeddingSpaceEvaluator(
-            make_expressive_feature_fn(net, variables))
+            make_expressive_feature_fn(net, variables),
+            trained=bool(eval_net_path))
+
+
+def _warn_untrained_eval_net():
+    print("WARNING: no --eval-net weights; the FGD feature net is RANDOMLY "
+          "INITIALISED.\n         FGD/diversity below are relative numbers "
+          "for this run only — NOT\n         comparable to the reference "
+          "(convert gesture_autoencoder_checkpoint\n         _best.bin with "
+          "eval/torch_import.py for parity numbers).")
 
 
 def _load_variables(path: str, template):

@@ -26,7 +26,14 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="./checkpoints")
     p.add_argument("--dataset", default="TED",
                    choices=("TED", "TED_expressive"))
-    p.add_argument("--data", default="synthetic")
+    p.add_argument("--data", default="synthetic",
+                   help="'synthetic' or a source-LMDB path (the reference "
+                        "pulls a raw clip from the test LMDB, "
+                        "test_checkpoint.py:325-349); readable without the "
+                        "lmdb package via data/lmdbfile.py")
+    p.add_argument("--clip-index", type=int, default=0,
+                   help="which clip of --data to synthesise (reference used "
+                        "a fixed key)")
     p.add_argument("--out", default="./output")
     p.add_argument("--render-video", action="store_true")
     p.add_argument("--evaluate", action="store_true",
@@ -39,10 +46,23 @@ def main(argv=None):
     cfg = ted_config() if args.dataset == "TED" else expressive_config()
     skel = cfg.data.skeleton
 
-    # one long synthetic clip + a vocabulary over its words
-    videos = synthetic.make_source_clips(cfg, n_videos=1, clip_seconds=20.0,
-                                         seed=args.seed)
-    clip = videos[0][1][0]
+    if args.data == "synthetic":
+        # one long synthetic clip + a vocabulary over its words
+        videos = synthetic.make_source_clips(cfg, n_videos=1,
+                                             clip_seconds=20.0,
+                                             seed=args.seed)
+        clip = videos[0][1][0]
+    else:
+        # real clip from a source LMDB (reference test_checkpoint.py:325-349
+        # fetches one raw test clip and synthesises over its full length)
+        from hop_tpu.data.import_ted import iter_source_videos
+        clips = [c for _, cs in iter_source_videos(args.data) for c in cs]
+        if not clips:
+            raise SystemExit(f"no clips found in {args.data}")
+        clip = clips[args.clip_index % len(clips)]
+        print(f"clip {args.clip_index % len(clips)}/{len(clips)} "
+              f"vid={clip.vid} ({clip.end_time - clip.start_time:.1f}s, "
+              f"{len(clip.words)} words)")
     from hop_tpu.data.vocab import build_vocab
     lang = build_vocab("words", [clip.words], None, None,
                        cfg.data.wordembed_dim)
@@ -77,7 +97,16 @@ def main(argv=None):
     if ckpt.latest_step() is not None:
         restored = ckpt.restore()
         state = restored["state"]
-        variables = {"params": state["gen_params"],
+        if "gen_params" not in state:
+            raise SystemExit(
+                f"checkpoint in {args.checkpoint_dir} is not a HOP "
+                f"generator checkpoint (state keys: {sorted(state)}); "
+                "train with --model AD_LLM to produce one")
+        # the frozen LLM is stripped from checkpoints (utils/checkpoint.
+        # strip_frozen); take it from the fresh init
+        params = dict(state["gen_params"])
+        params.setdefault("llm", variables["params"]["llm"])
+        variables = {"params": params,
                      "batch_stats": state["gen_stats"]}
         print(f"restored checkpoint step {ckpt.latest_step()}")
     else:

@@ -30,6 +30,18 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
     model_name = args.model
     rngs = _init_rngs(args.seed)
     b = sample_batch
+
+    def P(variables):
+        """Install pretrained word embeddings (--wordembed-path) into any
+        vocab-shaped embedding tables, like the reference's
+        nn.Embedding.from_pretrained (multimodal_context_net.py:38-44)."""
+        w = getattr(lang, "word_embedding_weights", None)
+        if w is None or getattr(args, "wordembed_path", None) is None:
+            return variables
+        from hop_tpu.utils.params import set_pretrained_embeddings
+        variables, n = set_pretrained_embeddings(variables, w)
+        print(f"loaded pretrained word embeddings into {n} table(s)")
+        return variables
     if model_name == "AD_LLM":
         from hop_tpu.models.hop import HOPModel
         from hop_tpu.models.multimodal_context import ConvDiscriminator
@@ -76,6 +88,7 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
         gen_vars = jax.jit(lambda *a: gen.init(
             rngs, *a, rng=jax.random.PRNGKey(1), train=True))(
             pre, b["text_padded"], b["in_audio"], b["vid_indices"])
+        gen_vars = P(gen_vars)
         dis_vars = jax.jit(lambda t: disc.init(rngs, t, train=True))(
             b["target_vec"])
         warmup, gan, init_state = make_gan_train_steps(cfg, gen, disc)
@@ -104,6 +117,7 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
                          dropout=cfg.baseline.dropout_prob)
         variables = jax.jit(lambda *a: net.init(rngs, *a, train=True))(
             b["word_seq"], b["text_mask"], b["target_vec"])
+        variables = P(variables)
         step, init_state = make_seq2seq_train_step(cfg, net)
         state = init_state(variables)
 
@@ -149,6 +163,7 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
             b["in_audio"] if mode != "pose" else None, *a,
             input_mode="pose", rng=jax.random.PRNGKey(1), train=True))(
             b["target_vec"][:, :cfg.data.n_pre_poses], b["target_vec"])
+        variables = P(variables)
         step, init_state = make_embed_train_step(cfg, net, mode="pose")
         state = init_state(variables)
 
@@ -202,8 +217,8 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
 
         warmup, gan, init_state = make_hierarchy_train_steps(
             cfg, stages, disc, audio_enc, text_enc)
-        state = init_state({"params": gen_params,
-                            "batch_stats": gen_stats}, dis_vars)
+        state = init_state(P({"params": gen_params,
+                              "batch_stats": gen_stats}), dis_vars)
 
         def generate(state, batch, vids, rng):
             _, _, _, _, blends = audio_enc.apply(
@@ -252,10 +267,17 @@ def train_main(cfg: Config, args) -> float:
     ckpt.metadata = {"model": args.model, "dataset": cfg.data.dataset,
                      "n_speakers": n_speakers, "n_words": lang.n_words}
 
+    start_epoch, best_fgd = 0, float("inf")
     if getattr(args, "resume", False) and ckpt.latest_step() is not None:
-        restored = ckpt.restore(template=state)
-        state = restored["state"]
-        print(f"resumed from checkpoint step {ckpt.latest_step()}")
+        from hop_tpu.utils.checkpoint import strip_frozen, reattach_frozen
+        stripped, frozen = strip_frozen(state)
+        restored = ckpt.restore(template=stripped)
+        state = reattach_frozen(restored["state"], frozen)
+        meta = ckpt.run_metadata()
+        start_epoch = int(meta.get("epoch", ckpt.latest_step())) + 1
+        best_fgd = float(meta.get("best_fgd", float("inf")))
+        print(f"resumed from checkpoint epoch {start_epoch - 1} "
+              f"(best FGD {best_fgd:.4f})")
 
     # optional SPMD: shard the batch over a 'data' axis (and the frozen LLM
     # kernels over 'model' when requested); the jitted steps are layout
@@ -284,5 +306,6 @@ def train_main(cfg: Config, args) -> float:
             cfg, train_batches, warmup, gan, state,
             rng=jax.random.PRNGKey(args.seed),
             eval_fn=eval_fn, checkpoint_manager=ckpt,
-            metric_path=args.metrics, log_every=args.log_every)
+            metric_path=args.metrics, log_every=args.log_every,
+            start_epoch=start_epoch, best_fgd=best_fgd)
     return best_fgd

@@ -70,8 +70,11 @@ class Vocab:
         source: None (random init), a path to a .npy word-vector matrix
         aligned with this vocab, or a callable word -> vector.
         """
+        # reference init_sd = 1/sqrt(dim) for special/missing rows
+        # (vocab.py:73-76)
         weights = np.random.default_rng(seed).normal(
-            0, 1, (self.n_words, embedding_dim)).astype(np.float32)
+            0, 1.0 / np.sqrt(embedding_dim),
+            (self.n_words, embedding_dim)).astype(np.float32)
         if source is None:
             pass
         elif callable(source):

@@ -32,13 +32,17 @@ class EvalResult:
     bc: float
     diversity: float
     elapsed_sec: float
+    eval_net_trained: bool = True
 
     def __str__(self):
-        return ("[VAL] loss: {:.5f}, joint mae: {:.5f}, FGD: {:.5f}, "
-                "feat_D: {:.5f}, BC: {:.4f} / {:.1f}s, Diversity: {:.3f}"
-                .format(self.loss, self.mae, self.frechet_dist,
-                        self.feat_dist, self.bc, self.elapsed_sec,
-                        self.diversity))
+        s = ("[VAL] loss: {:.5f}, joint mae: {:.5f}, FGD: {:.5f}, "
+             "feat_D: {:.5f}, BC: {:.4f} / {:.1f}s, Diversity: {:.3f}"
+             .format(self.loss, self.mae, self.frechet_dist,
+                     self.feat_dist, self.bc, self.elapsed_sec,
+                     self.diversity))
+        if not self.eval_net_trained:
+            s += "  [FGD/diversity from an UNTRAINED feature net]"
+        return s
 
 
 def evaluate_testset(batches: Iterable[dict],
@@ -89,4 +93,6 @@ def evaluate_testset(batches: Iterable[dict],
         feat_dist=feat_dist,
         bc=bc_num / bc_den if bc_den > 0 else 0.0,
         diversity=diversity,
-        elapsed_sec=time.time() - start)
+        elapsed_sec=time.time() - start,
+        eval_net_trained=(evaluator is None
+                          or getattr(evaluator, "trained", True)))

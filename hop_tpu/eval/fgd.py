@@ -21,10 +21,19 @@ from hop_tpu.ops.sqrtm import frechet_distance
 class EmbeddingSpaceEvaluator:
     """Accumulates real/generated features; scores FGD + diversity."""
 
-    def __init__(self, feature_fn, n_pre_poses: int = 4):
-        """feature_fn(poses) -> (recon, features): jitted frozen net apply."""
+    def __init__(self, feature_fn, n_pre_poses: int = 4,
+                 trained: bool = True):
+        """feature_fn(poses) -> (recon, features): jitted frozen net apply.
+
+        trained=False marks a randomly-initialised feature net (no
+        --eval-net weights): FGD/diversity are then only relative numbers
+        within one run, never comparable to the reference's (which loads
+        gesture_autoencoder_checkpoint_best.bin,
+        EmbeddingSpaceEvaluator.py:393-414).
+        """
         self._feature_fn = jax.jit(feature_fn)
         self.n_pre_poses = n_pre_poses
+        self.trained = trained
         self.reset()
 
     def reset(self):

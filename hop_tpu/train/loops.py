@@ -52,25 +52,35 @@ def run_training(cfg: Config,
                  checkpoint_manager=None,
                  metric_path: Optional[str] = None,
                  log_every: int = 100,
-                 epochs: Optional[int] = None):
-    """Runs the full schedule; returns (state, best_fgd)."""
+                 epochs: Optional[int] = None,
+                 start_epoch: int = 0,
+                 best_fgd: float = float("inf")):
+    """Runs the full schedule; returns (state, best_fgd).
+
+    Exact resume: the per-step RNG is derived as
+    ``fold_in(fold_in(rng, epoch), i)`` and the batch order is seeded per
+    epoch by the caller, so the training trajectory is a pure function of
+    (seed, epoch, iteration). Restarting from a checkpoint at epoch k with
+    ``start_epoch=k+1`` replays epochs k+1.. bit-identically to an
+    uninterrupted run (pinned by tests/test_determinism.py).
+    """
     epochs = epochs or cfg.train.epochs
     meters = {n: AverageMeter(n) for n in METER_NAMES}
     writer = MetricWriter(metric_path)
-    best_fgd = float("inf")
     iter_count = 0
     time_now = time.time()
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         epoch_start = time.time()
         use_gan = (gan_step is not None
                    and epoch > cfg.loss.warmup_epochs
                    and cfg.loss.gan_weight > 0.0)
         step_fn = gan_step if use_gan else warmup_step
+        epoch_rng = jax.random.fold_in(rng, epoch)
 
         for i, batch in enumerate(train_batches_fn(epoch)):
             iter_count += 1
-            rng, rng_step = jax.random.split(rng)
+            rng_step = jax.random.fold_in(epoch_rng, i)
             state, metrics = step_fn(state, batch, rng_step)
             bsz = next(iter(batch.values())).shape[0]
             for name, meter in meters.items():
@@ -101,8 +111,12 @@ def run_training(cfg: Config,
             writer.scalar("loss/val", result.loss, epoch)
 
             if checkpoint_manager is not None:
-                checkpoint_manager.save(epoch, state, metadata={
-                    "fgd": result.frechet_dist, "bc": result.bc})
+                from hop_tpu.utils.checkpoint import strip_frozen
+                to_save, _ = strip_frozen(state)
+                checkpoint_manager.save(epoch, to_save, metadata={
+                    "fgd": result.frechet_dist, "bc": result.bc,
+                    "epoch": epoch,
+                    "best_fgd": min(best_fgd, result.frechet_dist)})
                 if result.frechet_dist < best_fgd:
                     checkpoint_manager.record_best(
                         "frechet", result.frechet_dist, epoch)

@@ -18,6 +18,35 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+FROZEN_KEY = "llm"
+
+
+def strip_frozen(state: Any, key: str = FROZEN_KEY):
+    """Drop the frozen LLM subtree from a train state before saving.
+
+    The HOP backbone is frozen (reference HOP.py:90-91) and fully
+    reconstructible from config + the HF weight converter, so persisting
+    its ~270 MB with every checkpoint only slows saves/restores (the
+    reference's torch.save has the same redundancy). Returns
+    ``(stripped_state, frozen_subtree_or_None)``; no-op for states without
+    a ``gen_params[key]`` dict (all baseline models).
+    """
+    gp = getattr(state, "gen_params", None)
+    if isinstance(gp, dict) and key in gp:
+        gp = dict(gp)
+        frozen = gp.pop(key)
+        return state.replace(gen_params=gp), frozen
+    return state, None
+
+
+def reattach_frozen(state: Any, frozen: Any, key: str = FROZEN_KEY):
+    """Inverse of strip_frozen (pass the subtree from a fresh model init)."""
+    if frozen is None:
+        return state
+    gp = dict(state.gen_params)
+    gp[key] = frozen
+    return state.replace(gen_params=gp)
+
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
