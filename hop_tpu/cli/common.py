@@ -64,6 +64,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "data/fasttext_export.py) or a fastText .bin model "
                         "(vectors computed on the fly); default random init "
                         "(reference run_ted.py --wordembed_path)")
+    p.add_argument("--llm-model", default=None, choices=("BERT", "LLAMA"),
+                   help="frozen backbone for AD_LLM (reference --llm_model, "
+                        "run_ted.py:133-212); LLAMA uses LLaMA-7B geometry "
+                        "truncated to --llm-layers")
+    p.add_argument("--llm-layers", type=int, default=None,
+                   help="backbone depth (reference --llm_layers, default 6)")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint from --checkpoint-dir "
@@ -80,7 +86,14 @@ def apply_overrides(cfg: Config, args) -> Config:
         train = dataclasses.replace(train, batch_size=args.batch_size)
     if args.learning_rate is not None:
         train = dataclasses.replace(train, learning_rate=args.learning_rate)
-    return cfg.replace(train=train)
+    llm = cfg.llm
+    if getattr(args, "llm_model", None) == "LLAMA":
+        from hop_tpu.config import llama7b_llm_config
+        llm = llama7b_llm_config(getattr(args, "llm_layers", None)
+                                 or llm.n_layers)
+    elif getattr(args, "llm_layers", None):
+        llm = dataclasses.replace(llm, n_layers=args.llm_layers)
+    return cfg.replace(train=train, llm=llm)
 
 
 def load_datasets(cfg: Config, args):

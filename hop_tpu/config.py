@@ -59,8 +59,11 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class LLMConfig:
-    """Frozen language-model backbone (reference run_ted.py:176-212)."""
-    model: str = "BERT"                  # "BERT" | "LLAMA" | "GPT2"
+    """Frozen language-model backbone (reference run_ted.py:133-212).
+
+    model: "BERT" (default) or "LLAMA"; anything else is rejected like the
+    reference's 'LLM model is not defined' (run_ted.py:211)."""
+    model: str = "BERT"                  # "BERT" | "LLAMA"
     dim: int = 768
     n_layers: int = 6                    # run_ted.py:107 (llm_layers)
     n_heads: int = 12
@@ -70,6 +73,18 @@ class LLMConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     compute_bf16: bool = True   # bf16 matmuls in the frozen backbone
+    # LLaMA-specific (run_ted.py:133-175; ignored by the BERT path)
+    n_kv_heads: int | None = None        # grouped-query attention
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+
+
+def llama7b_llm_config(n_layers: int = 6) -> LLMConfig:
+    """LLaMA-7B geometry truncated to n_layers, the reference's LLAMA
+    option (run_ted.py:133-140 sets num_hidden_layers=args.llm_layers)."""
+    return LLMConfig(model="LLAMA", dim=4096, n_layers=n_layers, n_heads=32,
+                     intermediate_dim=11008, vocab_size=32000,
+                     max_position=2048, rms_norm_eps=1e-6)
 
 
 @dataclass(frozen=True)

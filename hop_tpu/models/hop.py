@@ -34,8 +34,8 @@ import flax.linen as nn
 
 from hop_tpu.config import Config
 from hop_tpu.models import common
-from hop_tpu.models.bert import BertEncoder
 from hop_tpu.models.gwnet import GraphWaveNet
+from hop_tpu.models.llama import make_llm_encoder
 from hop_tpu.models.reprogramming import ReprogrammingLayer, PrototypeMapper
 
 
@@ -46,7 +46,9 @@ class HOPModel(nn.Module):
     def setup(self):
         cfg = self.cfg
         hop = cfg.hop
-        self.llm = BertEncoder(cfg.llm, name="llm")
+        # backbone per cfg.llm.model: BERT (default) or LLAMA
+        # (run_ted.py:133-212); unknown values raise like the reference
+        self.llm = make_llm_encoder(cfg.llm, name="llm")
         self.speaker = common.SpeakerLatent(self.n_speakers, hop.z_size)
         if hop.use_reprogramming:
             self.mapping_layer = PrototypeMapper(hop.num_prototype_tokens)
