@@ -47,6 +47,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--checkpoint-dir", default="./checkpoints")
     p.add_argument("--metrics", default="./metrics.jsonl")
+    p.add_argument("--tensorboard-dir", default=None,
+                   help="also mirror scalars into a TensorBoard event dir "
+                        "(the reference's SummaryWriter, run_ted.py:216)")
     p.add_argument("--eval-net", default=None,
                    help=".npz with the frozen FGD feature-net params "
                         "(random-init used when absent — scores are then "

@@ -151,6 +151,26 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
                 batch["target_vec"][:, :cfg.data.n_pre_poses], False)
         return state, step, step, jax.jit(generate)
 
+    if model_name == "gesture_autoencoder" and cfg.data.pose_dim != 27:
+        # expressive FGD feature net is a MotionAE, not EmbeddingNet
+        # (EmbeddingSpaceEvaluator.py:411-414); the reference only
+        # *consumes* its checkpoint — here it is trainable end to end
+        from hop_tpu.models.motion_ae import MotionAE
+        from hop_tpu.train.embed import make_motion_ae_train_step
+        net = MotionAE(pose_dim=cfg.data.pose_dim,
+                       latent_dim=cfg.baseline.motion_ae_latent_dim)
+        variables = jax.jit(lambda t: net.init(rngs, t, True))(
+            b["target_vec"])
+        step, init_state = make_motion_ae_train_step(cfg, net)
+        state = init_state(variables)
+
+        def generate(state, batch, vids, rng):
+            recon, _ = net.apply(
+                {"params": state.params, "batch_stats": state.stats},
+                batch["target_vec"], False)
+            return recon
+        return state, step, None, jax.jit(generate)
+
     if model_name in ("joint_embedding", "gesture_autoencoder"):
         from hop_tpu.models.embedding_net import EmbeddingNet
         from hop_tpu.train.embed import make_embed_train_step
@@ -306,6 +326,8 @@ def train_main(cfg: Config, args) -> float:
             cfg, train_batches, warmup, gan, state,
             rng=jax.random.PRNGKey(args.seed),
             eval_fn=eval_fn, checkpoint_manager=ckpt,
-            metric_path=args.metrics, log_every=args.log_every,
+            metric_path=args.metrics,
+            tensorboard_dir=getattr(args, "tensorboard_dir", None),
+            log_every=args.log_every,
             start_epoch=start_epoch, best_fgd=best_fgd)
     return best_fgd

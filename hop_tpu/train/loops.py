@@ -28,20 +28,29 @@ METER_NAMES = ("loss", "var_loss", "gen", "dis", "KLD", "DIV_REG",
 
 
 class MetricWriter:
-    """JSONL scalar stream (the TensorBoard replacement)."""
+    """JSONL scalar stream (the TensorBoard replacement); optionally
+    mirrors live into a TensorBoard event dir (utils/metrics_export)."""
 
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], tensorboard_dir: Optional[str] = None):
         self._f = open(path, "a") if path else None
+        self._tb = None
+        if tensorboard_dir:
+            from hop_tpu.utils.metrics_export import TensorBoardMirror
+            self._tb = TensorBoardMirror(tensorboard_dir)
 
     def scalar(self, name: str, value: float, step: int):
         if self._f:
             self._f.write(json.dumps(
                 {"name": name, "value": float(value), "step": step}) + "\n")
             self._f.flush()
+        if self._tb:
+            self._tb.scalar(name, value, step)
 
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb:
+            self._tb.close()
 
 
 def run_training(cfg: Config,
@@ -51,6 +60,7 @@ def run_training(cfg: Config,
                  eval_fn: Optional[Callable[[object, int], EvalResult]] = None,
                  checkpoint_manager=None,
                  metric_path: Optional[str] = None,
+                 tensorboard_dir: Optional[str] = None,
                  log_every: int = 100,
                  epochs: Optional[int] = None,
                  start_epoch: int = 0,
@@ -66,7 +76,7 @@ def run_training(cfg: Config,
     """
     epochs = epochs or cfg.train.epochs
     meters = {n: AverageMeter(n) for n in METER_NAMES}
-    writer = MetricWriter(metric_path)
+    writer = MetricWriter(metric_path, tensorboard_dir)
     iter_count = 0
     time_now = time.time()
 

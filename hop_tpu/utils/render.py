@@ -19,17 +19,19 @@ from hop_tpu import geometry
 
 
 def _plot_skeleton(ax, pose, skeleton, title):
+    """One frame, matching convert.py:152-177: y/z swapped into the plot
+    axes, mirrored y/z limits, per-bone linewidth 5, blank axis labels."""
     ax.clear()
     for p, c, _ in skeleton.pairs:
         ax.plot([pose[p, 0], pose[c, 0]],
                 [pose[p, 2], pose[c, 2]],
-                [pose[p, 1], pose[c, 1]], linewidth=2)
+                [pose[p, 1], pose[c, 1]], zdir="z", linewidth=5)
     ax.set_xlim3d(-0.5, 0.5)
     ax.set_ylim3d(0.5, -0.5)
     ax.set_zlim3d(0.5, -0.5)
-    ax.set_xlabel("x")
-    ax.set_ylabel("z")
-    ax.set_zlabel("y")
+    ax.set_xlabel("")
+    ax.set_ylabel("")
+    ax.set_zlabel("")
     ax.set_title(title)
 
 
@@ -57,15 +59,24 @@ def create_video_and_save(save_path: str, iter_idx, prefix: str,
         tgt_poses = np.asarray(geometry.convert_dir_vec_to_pose(
             target_dir_vec + mean, skeleton))
 
+    from textwrap import wrap
     fig = plt.figure(figsize=(8, 4))
+    # human (target) left, generated right, elev 20 / azim -60
+    # (convert.py:123-126, 145-148)
     axes = [fig.add_subplot(1, 2, 1, projection="3d"),
             fig.add_subplot(1, 2, 2, projection="3d")]
-    fig.suptitle("\n".join(title.split("\n")[:2]), fontsize=10)
+    for ax in axes:
+        ax.view_init(elev=20, azim=-60)
+    fig.suptitle("\n".join(wrap(title, 75)), fontsize="medium")
+
+    n = len(out_poses)
 
     def animate(i):
-        _plot_skeleton(axes[0], out_poses[i], skeleton, "generated")
         if tgt_poses is not None and i < len(tgt_poses):
-            _plot_skeleton(axes[1], tgt_poses[i], skeleton, "ground truth")
+            _plot_skeleton(axes[0], tgt_poses[i], skeleton,
+                           f"human ({i + 1}/{n})")
+        _plot_skeleton(axes[1], out_poses[i], skeleton,
+                       f"generated ({i + 1}/{n})")
 
     ani = animation.FuncAnimation(fig, animate, frames=len(out_poses))
     Path(save_path).mkdir(parents=True, exist_ok=True)

@@ -178,6 +178,38 @@ def test_import_cache_roundtrip(source_fixture, tmp_path):
         assert f1.read() == f2.read()
 
 
+def test_import_source_expressive(tmp_path):
+    """The expressive source LMDB uses the same clip schema
+    (data_preprocessor_expressive.py:70-76); --dataset TED_expressive
+    routes it through the 42-bone config."""
+    from hop_tpu.config import expressive_config
+    from hop_tpu.data.import_ted import main
+    cfg = expressive_config()
+    videos = synthetic.make_source_clips(cfg, n_videos=1, clip_seconds=10.0)
+    items = {}
+    for i, (vid, clips) in enumerate(videos):
+        video = {"vid": vid, "clips": [{
+            "skeletons_3d": np.asarray(c.skeletons_3d),
+            "audio_raw": np.asarray(c.audio_raw),
+            "audio_feat": np.asarray(c.audio_spectrogram),
+            "words": [list(w) for w in c.words],
+            "start_frame_no": c.start_frame_no,
+            "end_frame_no": c.end_frame_no,
+            "start_time": c.start_time, "end_time": c.end_time,
+        } for c in clips]}
+        items[b"%010d" % i] = arrow_legacy.serialize(video)
+    lmdb_dir = str(tmp_path / "lmdb_exp")
+    write_lmdb(lmdb_dir, items)
+
+    direct = str(tmp_path / "direct")
+    DataPreprocessor(cfg.data, direct).run(videos)
+    out = str(tmp_path / "imported")
+    assert main(["--src", lmdb_dir, "--out", out,
+                 "--dataset", "TED_expressive"]) == 0
+    with open(out + ".bin", "rb") as f1, open(direct + ".bin", "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_import_cache_wrong_dataset_raises(source_fixture, tmp_path):
     from hop_tpu.data.import_ted import import_cache
     from hop_tpu.config import expressive_config
