@@ -130,24 +130,50 @@ def load_datasets(cfg: Config, args):
     return train_ds, val_ds, lang
 
 
-def device_batch(batch: dict, cfg: Config, with_mel: bool = True) -> dict:
-    """Host batch -> device arrays + on-device log-mel."""
+#: host fields each model family actually consumes — transferring only
+#: these cuts the per-batch host->device volume (e.g. AD_LLM skips the
+#: (B, 128, 82) spectrogram and the pose_seq/word streams, ~40% less)
+MODEL_BATCH_KEYS = {
+    "AD_LLM": ("in_audio", "target_vec", "vid_indices", "text_padded",
+               "text_tokens"),
+    "multimodal_context": ("in_audio", "target_vec", "vid_indices",
+                           "text_padded"),
+    "seq2seq": ("word_seq", "text_lengths", "target_vec"),
+    "speech2gesture": ("spectrogram", "target_vec"),
+    "joint_embedding": ("text_padded", "in_audio", "target_vec"),
+    "gesture_autoencoder": ("target_vec",),
+    "hierarchy": ("spectrogram", "text_padded", "target_vec",
+                  "vid_indices"),
+}
+
+
+def device_batch(batch: dict, cfg: Config, with_mel: bool = True,
+                 keys=None) -> dict:
+    """Host batch -> device arrays + on-device log-mel.
+
+    keys: optional subset of host fields to transfer (MODEL_BATCH_KEYS);
+    derived tensors (log_mel, text_mask, text_padded clamp) are computed
+    when their sources are present.
+    """
+    if keys is not None:
+        batch = {k: v for k, v in batch.items() if k in keys}
     out = {k: jnp.asarray(v) for k, v in batch.items()}
-    if with_mel:
+    if with_mel and "in_audio" in out:
         d = cfg.data
         out["log_mel"] = mel_ops.log_mel_spectrogram(
             out["in_audio"], sr=d.sample_rate, n_fft=d.mel_n_fft,
             hop=d.mel_hop, n_mels=d.mel_bins)
-    T = batch["word_seq"].shape[1]
-    out["text_mask"] = jnp.asarray(
-        (np.arange(T)[None] < batch["text_lengths"][:, None])
-        .astype(np.float32))
+    if "word_seq" in batch and "text_lengths" in batch:
+        T = batch["word_seq"].shape[1]
+        out["text_mask"] = jnp.asarray(
+            (np.arange(T)[None] < batch["text_lengths"][:, None])
+            .astype(np.float32))
     # the live HOP path feeds vocab word ids as LLM token ids
     # (run_ted.py:400); clamp into the LLM vocab. use_hf_token_stream
     # switches to the HF tokenizer ids instead.
     if cfg.data.use_hf_token_stream and "text_tokens" in out:
         out["text_padded"] = out["text_tokens"] % cfg.llm.vocab_size
-    else:
+    elif "text_padded" in out:
         out["text_padded"] = out["text_padded"] % cfg.llm.vocab_size
     return out
 

@@ -280,9 +280,11 @@ def train_main(cfg: Config, args) -> float:
     eval_fn = C.make_eval_fn(cfg, val_ds, evaluator, generate, n_speakers)
     ckpt = CheckpointManager(args.checkpoint_dir)
 
+    batch_keys = C.MODEL_BATCH_KEYS.get(args.model)
+
     def train_batches(epoch):
         for hb in train_ds.batches(bs, shuffle=True, seed=args.seed + epoch):
-            yield C.device_batch(hb, cfg)
+            yield C.device_batch(hb, cfg, keys=batch_keys)
 
     ckpt.metadata = {"model": args.model, "dataset": cfg.data.dataset,
                      "n_speakers": n_speakers, "n_words": lang.n_words}
