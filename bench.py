@@ -74,6 +74,12 @@ def main():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--steps", type=int, default=50,
                    help="timed steps (50 averages out TPU tunnel jitter)")
+    p.add_argument("--variant", default="both",
+                   choices=("both", "parity", "fused"),
+                   help="parity = the reference's exact 3-forward D/G "
+                        "structure; fused = the TPU-native batched "
+                        "two-speaker forward + joint update (43% faster, "
+                        "same FGD descent in benchmarks/compare_fused_step)")
     args = p.parse_args()
 
     if args.platform:
@@ -115,30 +121,42 @@ def main():
         {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(4)},
         b["target_vec"], train=True))()
 
-    _, gan_step, init_state = make_hop_train_steps(cfg, model, disc)
-    state = init_state(gen_vars, dis_vars)
+    import dataclasses
 
-    # compile + warm up
-    state, metrics = gan_step(state, b, jax.random.PRNGKey(100))
-    jax.block_until_ready(metrics["loss"])
+    def measure(fused: bool) -> float:
+        vcfg = cfg.replace(hop=dataclasses.replace(cfg.hop,
+                                                   fused_step=fused))
+        _, gan_step, init_state = make_hop_train_steps(vcfg, model, disc)
+        state = init_state(
+            jax.tree_util.tree_map(jnp.array, gen_vars),
+            jax.tree_util.tree_map(jnp.array, dis_vars))
+        state, metrics = gan_step(state, b, jax.random.PRNGKey(100))
+        jax.block_until_ready(metrics["loss"])
+        start = time.perf_counter()
+        for i in range(args.steps):
+            state, metrics = gan_step(state, b, jax.random.PRNGKey(200 + i))
+        jax.block_until_ready(metrics["loss"])
+        return args.steps / (time.perf_counter() - start)
 
-    n_steps = args.steps
-    start = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = gan_step(state, b, jax.random.PRNGKey(200 + i))
-    jax.block_until_ready(metrics["loss"])
-    elapsed = time.perf_counter() - start
+    rates = {}
+    if args.variant in ("both", "parity"):
+        rates["parity"] = round(measure(False), 4)
+    if args.variant in ("both", "fused"):
+        rates["fused"] = round(measure(True), 4)
+    headline = max(rates.values())
+    variant = max(rates, key=rates.get)
 
-    steps_per_sec = n_steps / elapsed
     baseline_sps, note = load_measured_baseline(batch_size)
     platform = jax.devices()[0].platform
     print(json.dumps({
         "metric": f"hop_ted_gan_train_steps_per_sec_per_chip_bs{batch_size}",
-        "value": round(steps_per_sec, 4),
+        "value": headline,
         "unit": "steps/s",
-        "vs_baseline": (round(steps_per_sec / baseline_sps, 4)
+        "vs_baseline": (round(headline / baseline_sps, 4)
                         if baseline_sps else None),
         "baseline_note": note,
+        "variant": variant,
+        "rates": rates,
         "platform": platform,
     }))
 

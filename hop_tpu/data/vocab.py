@@ -82,6 +82,26 @@ class Vocab:
                 vec = source(w)
                 if vec is not None:
                     weights[i] = vec
+        elif str(source).endswith((".txt", ".vec")):
+            # GloVe/word2vec text format (reference vocab.py:86-130
+            # __get_embedding_weight): "<word> <v0> <v1> ..." per line,
+            # rows matched into this vocab, bad lines skipped
+            n_found = 0
+            with open(source, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip().split(" ")
+                    if len(parts) != embedding_dim + 1:
+                        continue
+                    idx = self.word2index.get(parts[0])
+                    if idx is None:
+                        continue
+                    try:
+                        weights[idx] = np.asarray(parts[1:], np.float32)
+                        n_found += 1
+                    except ValueError:
+                        continue
+            logging.info("%d / %d word vectors found in %s", n_found,
+                         len(self.word2index), source)
         else:
             mat = np.load(source)
             assert mat.shape == (self.n_words, embedding_dim), mat.shape

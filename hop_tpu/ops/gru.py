@@ -35,42 +35,43 @@ def _pallas_gru_enabled() -> bool:
     accumulates dW_hh/db_hh in-kernel), lifting the full GAN step from
     9.0 to 10.9 steps/s. Opt out with HOP_TPU_PALLAS_GRU=0; CPU always
     uses the scan."""
-    if os.environ.get("HOP_TPU_PALLAS_GRU", "1") == "0":
+    flag = os.environ.get("HOP_TPU_PALLAS_GRU", "1")
+    if flag == "0":
         return False
+    if flag == "interpret":   # CPU tests of the pallas branch
+        return "interpret"
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
 
 
-def _pallas_layer(x_proj, x_proj_r, w_hh, b_hh, w_hh_r, b_hh_r, h0, h):
-    """One (bi)directional layer through the fused kernel. x_proj* are
-    (B, T, 3H); returns (y_fw, y_bw) or (y, None)."""
+def _pallas_layer_tm(x_tm, dir_params, h0, h, interpret=False):
+    """One (bi)directional layer through the fused kernel, fully
+    time-major: x_tm (T, B, in); dir_params is a list of
+    (w_ih, w_hh, b_ih, b_hh) per direction. The per-gate input
+    projections are einsums whose OUTPUT is already (T, B, H) — the
+    gate layout the kernel streams — so no relayout copies exist
+    between layers (these copies were 10+ ms/step in the device trace
+    of the first integration). Returns y (D, T, B, H)."""
     from hop_tpu.ops.pallas_gru_stack import gru_stack
 
-    def gates(xp):
-        return [jnp.swapaxes(xp[..., g * h:(g + 1) * h], 0, 1)
-                for g in range(3)]
-
-    def wsplit(w):
-        return jnp.stack([w[g * h:(g + 1) * h, :].T for g in range(3)])
-
-    def bsplit(b):
-        return jnp.stack([b[g * h:(g + 1) * h][None, :] for g in range(3)])
-
-    if x_proj_r is not None:
-        xg = [jnp.stack(pair) for pair in zip(gates(x_proj),
-                                              gates(x_proj_r))]
-        w = jnp.stack([wsplit(w_hh), wsplit(w_hh_r)])
-        b = jnp.stack([bsplit(b_hh), bsplit(b_hh_r)])
-    else:
-        xg = [g[None] for g in gates(x_proj)]
-        w = wsplit(w_hh)[None]
-        b = bsplit(b_hh)[None]
-    y = gru_stack(*xg, w, b, h0)
-    y_fw = jnp.swapaxes(y[0], 0, 1)
-    y_bw = jnp.swapaxes(y[1], 0, 1) if x_proj_r is not None else None
-    return y_fw, y_bw
+    # per-gate direction-stacked input projections in ONE einsum each —
+    # the direction axis lives on the (tiny) weight operand, so the
+    # (D, T, B, H) gate stream is the dot's own output layout and no
+    # 14 MB jnp.stack copies appear in the HLO
+    xg, wg, bg = [], [], []
+    for g in range(3):
+        sl = slice(g * h, (g + 1) * h)
+        wih = jnp.stack([p[0][sl] for p in dir_params])     # (D, H, in)
+        bih = jnp.stack([p[2][sl] for p in dir_params])     # (D, H)
+        xg.append(jnp.einsum("tbi,dhi->dtbh", x_tm, wih)
+                  + bih[:, None, None, :])
+        wg.append(jnp.stack([p[1][sl, :].T for p in dir_params]))
+        bg.append(jnp.stack([p[3][sl][None, :] for p in dir_params]))
+    w = jnp.stack(wg, axis=1)    # (D, 3, H, H)
+    b = jnp.stack(bg, axis=1)    # (D, 3, 1, H)
+    return gru_stack(xg[0], xg[1], xg[2], w, b, h0, interpret)
 
 
 def _gru_layer_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
@@ -168,6 +169,9 @@ class GRU(nn.Module):
         n_dir = 2 if self.bidirectional else 1
         init = torch_gru_uniform(1.0 / (h ** 0.5))
 
+        if initial_hidden is None and _pallas_gru_enabled():
+            return self._pallas_forward(x, deterministic)
+
         layer_in = x.astype(self.dtype)
         last_hiddens = []
         for layer in range(self.num_layers):
@@ -198,11 +202,7 @@ class GRU(nn.Module):
                 else:
                     h0_bw = jnp.zeros((batch, h), self.dtype)
                 x_proj_r = layer_in @ w_ih_r.T + b_ih_r
-                if initial_hidden is None and _pallas_gru_enabled():
-                    y_fw, y_bw = _pallas_layer(
-                        x_proj, x_proj_r, w_hh, b_hh, w_hh_r, b_hh_r,
-                        h0_fw, h)
-                elif (h0_fw is h0_bw) or initial_hidden is None:
+                if (h0_fw is h0_bw) or initial_hidden is None:
                     y_fw, y_bw = _bidir_layer_scan(
                         x_proj, x_proj_r, w_hh, b_hh, w_hh_r, b_hh_r, h0_fw)
                 else:
@@ -212,15 +212,57 @@ class GRU(nn.Module):
                 last_hiddens.append(y_fw[:, -1])
                 last_hiddens.append(y_bw[:, 0])
             else:
-                if initial_hidden is None and _pallas_gru_enabled():
-                    y, _ = _pallas_layer(x_proj, None, w_hh, b_hh,
-                                         None, None, h0_fw, h)
-                else:
-                    y = _gru_layer_scan(x_proj, w_hh, b_hh, h0_fw, False)
+                y = _gru_layer_scan(x_proj, w_hh, b_hh, h0_fw, False)
                 layer_in = y
                 last_hiddens.append(y[:, -1])
 
         return layer_in, jnp.stack(last_hiddens, axis=0)
+
+    def _pallas_forward(self, x: jnp.ndarray, deterministic: bool):
+        # plain helper (runs inside __call__'s compact context; a second
+        # @nn.compact method is not allowed). Declares the SAME param
+        # names/shapes as the scan branch, so checkpoints are
+        # interchangeable between the two implementations/platforms.
+        """Whole stack through the fused time-grid kernel, keeping every
+        inter-layer activation time-major (T, B, F) — one transpose in,
+        one out, zero per-gate relayouts."""
+        batch = x.shape[0]
+        h = self.hidden_size
+        init = torch_gru_uniform(1.0 / (h ** 0.5))
+        h0 = jnp.zeros((batch, h), self.dtype)
+
+        x_tm = jnp.swapaxes(x.astype(self.dtype), 0, 1)
+        last_hiddens = []
+        for layer in range(self.num_layers):
+            if layer > 0 and self.dropout_rate > 0.0:
+                x_tm = nn.Dropout(self.dropout_rate)(
+                    x_tm, deterministic=deterministic)
+            in_dim = x_tm.shape[-1]
+            suffix = f"_l{layer}"
+            dir_params = [
+                (self.param(f"w_ih{suffix}", init, (3 * h, in_dim)),
+                 self.param(f"w_hh{suffix}", init, (3 * h, h)),
+                 self.param(f"b_ih{suffix}", init, (3 * h,)),
+                 self.param(f"b_hh{suffix}", init, (3 * h,)))]
+            if self.bidirectional:
+                dir_params.append(
+                    (self.param(f"w_ih{suffix}_reverse", init,
+                                (3 * h, in_dim)),
+                     self.param(f"w_hh{suffix}_reverse", init, (3 * h, h)),
+                     self.param(f"b_ih{suffix}_reverse", init, (3 * h,)),
+                     self.param(f"b_hh{suffix}_reverse", init, (3 * h,))))
+            y = _pallas_layer_tm(x_tm, dir_params, h0, h,
+                                 interpret=_pallas_gru_enabled()
+                                 == "interpret")
+            if self.bidirectional:
+                x_tm = jnp.concatenate([y[0], y[1]], axis=-1)
+                last_hiddens.append(y[0, -1])
+                last_hiddens.append(y[1, 0])
+            else:
+                x_tm = y[0]
+                last_hiddens.append(y[0, -1])
+        return (jnp.swapaxes(x_tm, 0, 1),
+                jnp.stack(last_hiddens, axis=0))
 
 
 class GRUCell(nn.Module):

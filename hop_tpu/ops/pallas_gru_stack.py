@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _fwd_kernel(xr_ref, xz_ref, xn_ref, w_ref, b_ref, h0_ref,
                 h_ref, r_ref, z_ref, n_ref, hnb_ref, h_scr):
-    t = pl.program_id(1)
+    t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _():
@@ -76,30 +76,60 @@ def _time_idx(d, t, T):
     return t + d * (T - 1 - 2 * t)
 
 
+#: largest batch slab held in VMEM at once; bigger batches get an extra
+#: (sequential) batch-tile grid dimension. 256 x 350 f32 streams with
+#: double-buffered in/out blocks stay well under the 16 MB VMEM budget
+#: (B=512 untiled was measured to need 18.5 MB).
+MAX_BATCH_TILE = 256
+
+
+def _batch_tiles(B):
+    if B <= MAX_BATCH_TILE:
+        return B, 1
+    nbt = -(-B // MAX_BATCH_TILE)
+    bt = -(-B // nbt)
+    return bt, nbt
+
+
+def _pad_batch(arrs, B, bt, nbt):
+    padded = bt * nbt
+    if padded == B:
+        return arrs
+    pad = padded - B
+    return [jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, pad), (0, 0)])
+            for a in arrs]
+
+
 def _fwd_call(xr, xz, xn, w, b, h0, interpret=False):
     D, T, B, H = xr.shape
+    bt, nbt = _batch_tiles(B)
+    xr, xz, xn = _pad_batch([xr, xz, xn], B, bt, nbt)
+    (h0,) = _pad_batch([h0], B, bt, nbt)
+    Bp = bt * nbt
 
-    def x_map(d, t):
-        return (d, _time_idx(d, t, T), 0, 0)
+    def x_map(d, i, t):
+        return (d, _time_idx(d, t, T), i, 0)
 
-    x_spec = pl.BlockSpec((1, 1, B, H), x_map, memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((1, 3, H, H), lambda d, t: (d, 0, 0, 0),
+    x_spec = pl.BlockSpec((1, 1, bt, H), x_map, memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 3, H, H), lambda d, i, t: (d, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((1, 3, 1, H), lambda d, t: (d, 0, 0, 0),
+    b_spec = pl.BlockSpec((1, 3, 1, H), lambda d, i, t: (d, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    h0_spec = pl.BlockSpec((B, H), lambda d, t: (0, 0),
+    h0_spec = pl.BlockSpec((bt, H), lambda d, i, t: (i, 0),
                            memory_space=pltpu.VMEM)
-    out_stream = jax.ShapeDtypeStruct((D, T, B, H), jnp.float32)
+    out_stream = jax.ShapeDtypeStruct((D, T, Bp, H), jnp.float32)
 
     outs = pl.pallas_call(
         _fwd_kernel,
-        grid=(D, T),
+        grid=(D, nbt, T),
         in_specs=[x_spec, x_spec, x_spec, w_spec, b_spec, h0_spec],
         out_specs=[x_spec] * 5,
         out_shape=[out_stream] * 5,
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
         interpret=interpret,
     )(xr, xz, xn, w, b, h0)
+    if Bp != B:
+        outs = [o[:, :, :B] for o in outs]
     return outs   # h_seq, r, z, n, hnb
 
 
@@ -110,12 +140,16 @@ def _fwd_call(xr, xz, xn, w, b, h0, interpret=False):
 def _bwd_kernel(g_ref, r_ref, z_ref, n_ref, hnb_ref, hprev_ref, wt_ref,
                 dx_r_ref, dx_z_ref, dx_n_ref, dw_ref, db_ref, dh0_ref,
                 dh_scr):
-    t = pl.program_id(1)
-    T = pl.num_programs(1)
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+    T = pl.num_programs(2)
 
     @pl.when(t == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    @pl.when((t == 0) & (i == 0))
+    def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
@@ -158,34 +192,41 @@ def _bwd_kernel(g_ref, r_ref, z_ref, n_ref, hnb_ref, hprev_ref, wt_ref,
 
 def _bwd_call(g, r, z, n, hnb, hprev, w, interpret=False):
     D, T, B, H = g.shape
+    bt, nbt = _batch_tiles(B)
+    g, r, z, n, hnb, hprev = _pad_batch([g, r, z, n, hnb, hprev],
+                                        B, bt, nbt)
+    Bp = bt * nbt
     # the backward traversal reverses each direction's forward order
     # (fw processed 0..T-1 -> walk T-1..0; bw processed T-1..0 -> 0..T-1)
 
-    def x_map(d, t):
-        return (d, _time_idx(1 - d, t, T), 0, 0)
+    def x_map(d, i, t):
+        return (d, _time_idx(1 - d, t, T), i, 0)
 
-    x_spec = pl.BlockSpec((1, 1, B, H), x_map, memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((1, 3, H, H), lambda d, t: (d, 0, 0, 0),
+    x_spec = pl.BlockSpec((1, 1, bt, H), x_map, memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 3, H, H), lambda d, i, t: (d, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    b_acc_spec = pl.BlockSpec((1, 3, 1, H), lambda d, t: (d, 0, 0, 0),
+    b_acc_spec = pl.BlockSpec((1, 3, 1, H), lambda d, i, t: (d, 0, 0, 0),
                               memory_space=pltpu.VMEM)
-    dh0_spec = pl.BlockSpec((1, B, H), lambda d, t: (d, 0, 0),
+    dh0_spec = pl.BlockSpec((1, bt, H), lambda d, i, t: (d, i, 0),
                             memory_space=pltpu.VMEM)
 
     w_t = jnp.swapaxes(w, -1, -2)   # per-gate W^T, still (D, 3, H, H)
 
     dxr, dxz, dxn, dw, db, dh0 = pl.pallas_call(
         _bwd_kernel,
-        grid=(D, T),
+        grid=(D, nbt, T),
         in_specs=[x_spec] * 6 + [w_spec],
         out_specs=[x_spec, x_spec, x_spec, w_spec, b_acc_spec, dh0_spec],
-        out_shape=[jax.ShapeDtypeStruct((D, T, B, H), jnp.float32)] * 3
+        out_shape=[jax.ShapeDtypeStruct((D, T, Bp, H), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((D, 3, H, H), jnp.float32),
            jax.ShapeDtypeStruct((D, 3, 1, H), jnp.float32),
-           jax.ShapeDtypeStruct((D, B, H), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+           jax.ShapeDtypeStruct((D, Bp, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
         interpret=interpret,
     )(g, r, z, n, hnb, hprev, w_t)
+    if Bp != B:
+        dxr, dxz, dxn = (a[:, :, :B] for a in (dxr, dxz, dxn))
+        dh0 = dh0[:, :B]
     return dxr, dxz, dxn, dw, db, dh0
 
 

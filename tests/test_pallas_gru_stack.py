@@ -93,3 +93,48 @@ def test_unidirectional_gradients():
     for a, r in zip(g_ours, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_gru_module_pallas_branch_matches_scan(monkeypatch):
+    """The GRU module's pallas branch (time-major stack) matches the scan
+    branch bit-for-tolerance, params interchangeable (same names/shapes)."""
+    from hop_tpu.ops.gru import GRU
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (5, 9, 12)).astype(np.float32))
+    gru = GRU(hidden_size=16, num_layers=2, bidirectional=True)
+    variables = gru.init(jax.random.PRNGKey(0), x)
+    out_scan, hid_scan = gru.apply(variables, x)
+
+    monkeypatch.setenv("HOP_TPU_PALLAS_GRU", "interpret")
+    variables2 = gru.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(variables2)
+    out_pl, hid_pl = gru.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_scan),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hid_pl), np.asarray(hid_scan),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_batch_tiling_matches_untiled(monkeypatch):
+    """B > MAX_BATCH_TILE adds a batch-tile grid dim (with padding when
+    B doesn't divide); results and grads must match the untiled kernel."""
+    from hop_tpu.ops import pallas_gru_stack as pgs
+    xg, w, b, h0 = _make(4)
+    key = jax.random.normal(jax.random.PRNGKey(2), (2, T, B, H))
+
+    def loss(xr, xz, xn, w, b, h0):
+        return jnp.sum(gru_stack(xr, xz, xn, w, b, h0, True) * key)
+
+    args = (*xg, w, b, h0)
+    y_ref = gru_stack(*args, True)
+    g_ref = jax.grad(loss, argnums=(0, 3, 4, 5))(*args)
+
+    monkeypatch.setattr(pgs, "MAX_BATCH_TILE", 3)   # B=4 -> 2 tiles of 2
+    y_tiled = gru_stack(*args, True)
+    g_tiled = jax.grad(loss, argnums=(0, 3, 4, 5))(*args)
+    np.testing.assert_allclose(np.asarray(y_tiled), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, r in zip(g_tiled, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
