@@ -54,14 +54,22 @@ def main(argv=None):
         clip = videos[0][1][0]
     else:
         # real clip from a source LMDB (reference test_checkpoint.py:325-349
-        # fetches one raw test clip and synthesises over its full length)
+        # fetches one raw test clip and synthesises over its full length);
+        # stop deserialising as soon as the requested clip is reached —
+        # real LMDBs are multi-GB
         from hop_tpu.data.import_ted import iter_source_videos
-        clips = [c for _, cs in iter_source_videos(args.data) for c in cs]
-        if not clips:
-            raise SystemExit(f"no clips found in {args.data}")
-        clip = clips[args.clip_index % len(clips)]
-        print(f"clip {args.clip_index % len(clips)}/{len(clips)} "
-              f"vid={clip.vid} ({clip.end_time - clip.start_time:.1f}s, "
+        clip, videos, n_seen = None, [], 0
+        for vid, cs in iter_source_videos(args.data):
+            videos.append((vid, cs))
+            if clip is None and args.clip_index < n_seen + len(cs):
+                clip = cs[args.clip_index - n_seen]
+                break
+            n_seen += len(cs)
+        if clip is None:
+            raise SystemExit(f"--clip-index {args.clip_index} out of range "
+                             f"({n_seen} clips in {args.data})")
+        print(f"clip {args.clip_index} vid={clip.vid} "
+              f"({clip.end_time - clip.start_time:.1f}s, "
               f"{len(clip.words)} words)")
     from hop_tpu.data.vocab import build_vocab
     lang = build_vocab("words", [clip.words], None, None,
@@ -70,6 +78,17 @@ def main(argv=None):
     ckpt = CheckpointManager(args.checkpoint_dir)
     meta = ckpt.run_metadata()
     n_speakers = int(meta.get("n_speakers", 10))
+    # rebuild the frozen backbone the checkpoint was trained with (it is
+    # stripped from the saved arrays): train_main records llm_model /
+    # llm_layers in run_metadata
+    if meta.get("llm_model") == "LLAMA":
+        from hop_tpu.config import llama7b_llm_config
+        cfg = cfg.replace(llm=llama7b_llm_config(
+            int(meta.get("llm_layers", cfg.llm.n_layers))))
+    elif meta.get("llm_layers"):
+        import dataclasses
+        cfg = cfg.replace(llm=dataclasses.replace(
+            cfg.llm, n_layers=int(meta["llm_layers"])))
     model = HOPModel(cfg, n_speakers=n_speakers)
     # seed pose: resampled ground truth start, converted to dir-vec space
     from hop_tpu import geometry

@@ -4,9 +4,10 @@ The reference's TED FGD feature net was trained on Human3.6M windows
 (checkpoint dir ``train_h36m_gesture_autoencoder``, run_ted.py:126; the
 loader is data_loader/h36m_loader.py). This CLI reproduces that path:
 ``data_3d_h36m.npz`` -> Human36M windows (12 target joints, frontalised,
-noise-augmented) -> EmbeddingNet(mode='pose') (TED, pose_dim 27) or
-MotionAE (expressive) -> checkpoint that `eval/export_eval_net` turns
-into an ``--eval-net`` artifact.
+noise-augmented) -> EmbeddingNet(mode='pose') (TED, pose_dim 27) ->
+checkpoint that `eval/export_eval_net` turns into an ``--eval-net``
+artifact. (The expressive 43-joint FGD net cannot come from H36M —
+train it with run_expressive --model gesture_autoencoder instead.)
 
 Usage:
   python -m hop_tpu.cli.train_h36m_ae --npz data_3d_h36m.npz \
@@ -26,14 +27,19 @@ def main(argv=None):
     p.add_argument("--npz", required=True,
                    help="h36m positions npz (reference h36m_loader.py:31 "
                         "format: positions_3d item dict)")
-    p.add_argument("--dataset", default="TED",
-                   choices=("TED", "TED_expressive"))
+    p.add_argument("--dataset", default="TED", choices=("TED",),
+                   help="H36M windows carry the 10-joint TED skeleton; the "
+                        "expressive (43-joint) FGD net cannot be trained "
+                        "from them — use run_expressive --model "
+                        "gesture_autoencoder on gesture data instead")
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--learning-rate", type=float, default=5e-4)
     p.add_argument("--checkpoint-dir", default="./ck_h36m")
     p.add_argument("--seed", type=int, default=2021)
-    p.add_argument("--augment", action="store_true", default=True)
+    p.add_argument("--augment", action=argparse.BooleanOptionalAction,
+                   default=True, help="h36m noise augmentation "
+                   "(h36m_loader.py:84-90); --no-augment disables")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -42,11 +48,11 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from hop_tpu.config import ted_config, expressive_config
+    from hop_tpu.config import ted_config
     from hop_tpu.data.h36m import Human36M
     from hop_tpu.utils.checkpoint import CheckpointManager
 
-    cfg = ted_config() if args.dataset == "TED" else expressive_config()
+    cfg = ted_config()
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, learning_rate=args.learning_rate,
         batch_size=args.batch_size))
@@ -67,24 +73,16 @@ def main(argv=None):
     sample = jnp.zeros((args.batch_size, cfg.data.n_poses,
                         cfg.data.pose_dim), jnp.float32)
 
-    if args.dataset == "TED":
-        from hop_tpu.models.embedding_net import EmbeddingNet
-        from hop_tpu.train.embed import make_embed_train_step
-        net = EmbeddingNet(pose_dim=cfg.data.pose_dim,
-                           n_frames=cfg.data.n_poses, n_words=4,
-                           mode="pose")
-        variables = jax.jit(lambda t: net.init(
-            rngs, None, None, t[:, :cfg.data.n_pre_poses], t,
-            input_mode="pose", rng=jax.random.PRNGKey(1), train=True))(
-            sample)
-        step, init_state = make_embed_train_step(cfg, net, mode="pose")
-    else:
-        from hop_tpu.models.motion_ae import MotionAE
-        from hop_tpu.train.embed import make_motion_ae_train_step
-        net = MotionAE(pose_dim=cfg.data.pose_dim,
-                       latent_dim=cfg.baseline.motion_ae_latent_dim)
-        variables = jax.jit(lambda t: net.init(rngs, t, True))(sample)
-        step, init_state = make_motion_ae_train_step(cfg, net)
+    from hop_tpu.models.embedding_net import EmbeddingNet
+    from hop_tpu.train.embed import make_embed_train_step
+    net = EmbeddingNet(pose_dim=cfg.data.pose_dim,
+                       n_frames=cfg.data.n_poses, n_words=4,
+                       mode="pose")
+    variables = jax.jit(lambda t: net.init(
+        rngs, None, None, t[:, :cfg.data.n_pre_poses], t,
+        input_mode="pose", rng=jax.random.PRNGKey(1), train=True))(
+        sample)
+    step, init_state = make_embed_train_step(cfg, net, mode="pose")
 
     state = init_state(variables)
     ckpt = CheckpointManager(args.checkpoint_dir)
@@ -111,14 +109,11 @@ def main(argv=None):
         val_vecs = jnp.asarray(np.stack(
             [val_ds[j][1] for j in range(min(len(val_ds), 512))]))
         v = {"params": state.params, "batch_stats": state.stats}
-        if args.dataset == "TED":
-            outs = net.apply(v, None, None,
-                             val_vecs[:, :cfg.data.n_pre_poses], val_vecs,
-                             input_mode="pose", variational=False,
-                             train=False)
-            recon = outs[-1]
-        else:
-            recon, _ = net.apply(v, val_vecs, False)
+        outs = net.apply(v, None, None,
+                         val_vecs[:, :cfg.data.n_pre_poses], val_vecs,
+                         input_mode="pose", variational=False,
+                         train=False)
+        recon = outs[-1]
         val = float(jnp.mean(jnp.abs(recon - val_vecs)))
         tr = float(jnp.mean(jnp.asarray([float(x) for x in losses])))
         print(f"epoch {epoch + 1}: train loss {tr:.4f} "

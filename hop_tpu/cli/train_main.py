@@ -287,14 +287,21 @@ def train_main(cfg: Config, args) -> float:
             yield C.device_batch(hb, cfg, keys=batch_keys)
 
     ckpt.metadata = {"model": args.model, "dataset": cfg.data.dataset,
-                     "n_speakers": n_speakers, "n_words": lang.n_words}
+                     "n_speakers": n_speakers, "n_words": lang.n_words,
+                     "llm_model": cfg.llm.model,
+                     "llm_layers": cfg.llm.n_layers}
 
     start_epoch, best_fgd = 0, float("inf")
     if getattr(args, "resume", False) and ckpt.latest_step() is not None:
         from hop_tpu.utils.checkpoint import strip_frozen, reattach_frozen
         stripped, frozen = strip_frozen(state)
-        restored = ckpt.restore(template=stripped)
-        state = reattach_frozen(restored["state"], frozen)
+        try:
+            restored = ckpt.restore(template=stripped)
+            state = reattach_frozen(restored["state"], frozen)
+        except Exception:
+            # older checkpoints stored the frozen LLM subtree too
+            restored = ckpt.restore(template=state)
+            state = restored["state"]
         meta = ckpt.run_metadata()
         start_epoch = int(meta.get("epoch", ckpt.latest_step())) + 1
         best_fgd = float(meta.get("best_fgd", float("inf")))

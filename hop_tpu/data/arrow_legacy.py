@@ -248,23 +248,33 @@ def _decode_union(u: pa.UnionArray, i: int, tensors: list):
 
 
 def deserialize(buf: bytes):
-    """Decode a legacy ``pyarrow.serialize`` payload (0.14 or 0.15+ header)."""
+    """Decode a legacy ``pyarrow.serialize`` payload.
+
+    The 0.14 header is [n_tensors, n_ndarrays, n_buffers] (+4 bytes pad),
+    the 0.15+ header adds a sparse-tensor count after n_tensors; both end
+    at byte 16 where the IPC stream begins. The words alone can be
+    ambiguous (zero counts), so the plausible interpretation is tried
+    first and the other on ANY parse failure."""
     buf = bytes(buf)
     w = struct.unpack_from("<iiii", buf, 0)
-    # 0.14 wrote [n_tensors, n_ndarrays, n_buffers] + pad; 0.15+ wrote
-    # [n_tensors, n_sparse, n_ndarrays, n_buffers]. Disambiguate: in the
-    # 0.14 layout word 3 is alignment padding == 0 only when n_buffers == 0,
-    # and real clip payloads always carry ndarrays (word 1 > 0).
-    if w[0] == 0 and w[1] == 0 and w[2] >= 0 and w[3] == 0:
-        # ambiguous all-but-one-zero case: 0.15+ (n_ndarrays at word 2)
-        n_tensors, n_ndarrays, n_buffers, body = w[0], w[2], w[3], 16
-    elif w[1] > 0 and w[3] == 0 and w[2] == 0:
-        n_tensors, n_ndarrays, n_buffers, body = w[0], w[1], w[2], 12
-    elif w[1] == 0 and w[2] > 0:
-        n_tensors, n_ndarrays, n_buffers, body = w[0], w[2], w[3], 16
-    else:
-        n_tensors, n_ndarrays, n_buffers, body = w[0], w[1], w[2], 12
-    pos = body + (-body) % _IPC_ALIGN
+    v15 = (w[0], w[2], w[3])     # (n_tensors, n_ndarrays, n_buffers)
+    v14 = (w[0], w[1], w[2])
+    order = [v15, v14] if (w[1] == 0 and w[2] > 0) else [v14, v15]
+    last_err = None
+    for counts in order:
+        if min(counts) < 0 or max(counts) > 10 ** 6:
+            continue
+        try:
+            return _deserialize_with_counts(buf, *counts)
+        except Exception as e:   # wrong layout guess -> try the other
+            last_err = e
+    raise ValueError(f"cannot decode legacy-arrow payload "
+                     f"(header words {w}): {last_err}")
+
+
+def _deserialize_with_counts(buf: bytes, n_tensors: int, n_ndarrays: int,
+                             n_buffers: int):
+    pos = 16
 
     reader = pa.BufferReader(buf)
     reader.seek(pos)

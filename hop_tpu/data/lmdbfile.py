@@ -54,8 +54,12 @@ class LmdbReader:
 
     def __init__(self, path: str):
         self.path = _data_path(path)
-        with open(self.path, "rb") as f:
-            self.buf = f.read()
+        # mmap, not read(): real TED source LMDBs are multi-GB and only
+        # the touched pages should ever enter memory
+        import mmap as _mmap
+        self._file = open(self.path, "rb")
+        self.buf = _mmap.mmap(self._file.fileno(), 0,
+                              access=_mmap.ACCESS_READ)
         # meta 0 is at offset 0; its psize field locates meta 1
         m0 = self._parse_meta(0)
         m1 = self._parse_meta((m0 or {"psize": 4096})["psize"])

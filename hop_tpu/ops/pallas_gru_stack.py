@@ -70,6 +70,32 @@ def _fwd_kernel(xr_ref, xz_ref, xn_ref, w_ref, b_ref, h0_ref,
     h_scr[:] = h_new
 
 
+def _fwd_kernel_lean(xr_ref, xz_ref, xn_ref, w_ref, b_ref, h0_ref,
+                     h_ref, h_scr):
+    """Inference variant: h stream only (no residual gate outputs) —
+    saves 4x (D, T, B, H) of HBM write bandwidth on every non-VJP call
+    (generation / eval run this path)."""
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    hr = jnp.dot(h, w_ref[0, 0], preferred_element_type=jnp.float32) \
+        + b_ref[0, 0]
+    hz = jnp.dot(h, w_ref[0, 1], preferred_element_type=jnp.float32) \
+        + b_ref[0, 1]
+    hnb = jnp.dot(h, w_ref[0, 2], preferred_element_type=jnp.float32) \
+        + b_ref[0, 2]
+    r = jax.nn.sigmoid(xr_ref[0, 0] + hr)
+    z = jax.nn.sigmoid(xz_ref[0, 0] + hz)
+    n = jnp.tanh(xn_ref[0, 0] + r * hnb)
+    h_new = (1.0 - z) * n + z * h
+    h_ref[0, 0] = h_new
+    h_scr[:] = h_new
+
+
 def _time_idx(d, t, T):
     # forward direction walks t = 0..T-1; backward walks T-1..0 — the
     # reversal is purely an index-map, no data movement
@@ -100,7 +126,8 @@ def _pad_batch(arrs, B, bt, nbt):
             for a in arrs]
 
 
-def _fwd_call(xr, xz, xn, w, b, h0, interpret=False):
+def _fwd_call(xr, xz, xn, w, b, h0, interpret=False,
+              with_residuals=True):
     D, T, B, H = xr.shape
     bt, nbt = _batch_tiles(B)
     xr, xz, xn = _pad_batch([xr, xz, xn], B, bt, nbt)
@@ -119,18 +146,19 @@ def _fwd_call(xr, xz, xn, w, b, h0, interpret=False):
                            memory_space=pltpu.VMEM)
     out_stream = jax.ShapeDtypeStruct((D, T, Bp, H), jnp.float32)
 
+    n_out = 5 if with_residuals else 1
     outs = pl.pallas_call(
-        _fwd_kernel,
+        _fwd_kernel if with_residuals else _fwd_kernel_lean,
         grid=(D, nbt, T),
         in_specs=[x_spec, x_spec, x_spec, w_spec, b_spec, h0_spec],
-        out_specs=[x_spec] * 5,
-        out_shape=[out_stream] * 5,
+        out_specs=[x_spec] * n_out,
+        out_shape=[out_stream] * n_out,
         scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
         interpret=interpret,
     )(xr, xz, xn, w, b, h0)
     if Bp != B:
         outs = [o[:, :, :B] for o in outs]
-    return outs   # h_seq, r, z, n, hnb
+    return outs   # [h_seq] or [h_seq, r, z, n, hnb]
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +276,8 @@ def gru_stack(xr, xz, xn, w, b, h0, interpret=False):
     Returns h_seq (D, T, B, H) in *natural* time order for both
     directions (the reverse stream is un-reversed by construction).
     """
-    h_seq, *_ = _fwd_call(xr, xz, xn, w, b, h0, interpret=interpret)
+    (h_seq,) = _fwd_call(xr, xz, xn, w, b, h0, interpret=interpret,
+                         with_residuals=False)
     return h_seq
 
 

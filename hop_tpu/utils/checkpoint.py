@@ -62,15 +62,18 @@ class CheckpointManager:
     metadata: dict = None
 
     def save(self, step: int, state: Any, metadata: Optional[dict] = None):
-        # metadata goes to a JSON sidecar, never into the array payload
+        self._mgr.save(step, args=ocp.args.StandardSave({"state": state}))
+        self._mgr.wait_until_finished()
+        # metadata sidecar written only AFTER the arrays are durable: a
+        # preemption mid-save must not leave run_metadata pointing at an
+        # epoch the array store never finished (resume would silently
+        # skip epochs otherwise)
         merged = dict(self.metadata or {})
         merged.update(metadata or {})
         if merged:
             (self.directory / "run_metadata.json").write_text(
                 json.dumps({k: v for k, v in merged.items()
                             if isinstance(v, (str, int, float, bool))}))
-        self._mgr.save(step, args=ocp.args.StandardSave({"state": state}))
-        self._mgr.wait_until_finished()
 
     def run_metadata(self) -> dict:
         p = self.directory / "run_metadata.json"
