@@ -67,6 +67,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "data/fasttext_export.py) or a fastText .bin model "
                         "(vectors computed on the fly); default random init "
                         "(reference run_ted.py --wordembed_path)")
+    p.add_argument("--use-hf-token-stream", action="store_true",
+                   help="feed HF tokenizer ids to the LLM instead of the "
+                        "reference's live-path quirk of fasttext vocab ids "
+                        "(run_ted.py:400 -> train_llm.py:17)")
     p.add_argument("--llm-model", default=None, choices=("BERT", "LLAMA"),
                    help="frozen backbone for AD_LLM (reference --llm_model, "
                         "run_ted.py:133-212); LLAMA uses LLaMA-7B geometry "
@@ -89,6 +93,10 @@ def apply_overrides(cfg: Config, args) -> Config:
         train = dataclasses.replace(train, batch_size=args.batch_size)
     if args.learning_rate is not None:
         train = dataclasses.replace(train, learning_rate=args.learning_rate)
+    data = cfg.data
+    if getattr(args, "use_hf_token_stream", False):
+        data = dataclasses.replace(data, use_hf_token_stream=True)
+        cfg = cfg.replace(data=data)
     llm = cfg.llm
     if getattr(args, "llm_model", None) == "LLAMA":
         from hop_tpu.config import llama7b_llm_config
