@@ -78,6 +78,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--llm-layers", type=int, default=None,
                    help="backbone depth (reference --llm_layers, default 6)")
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="save the latest-for-resume checkpoint every N "
+                        "epochs (best-FGD epochs always save; the "
+                        "reference saves only on best, run_ted.py:454)")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint from --checkpoint-dir "
                         "before training (params, optimizer state, stats)")

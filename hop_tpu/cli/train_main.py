@@ -338,5 +338,6 @@ def train_main(cfg: Config, args) -> float:
             metric_path=args.metrics,
             tensorboard_dir=getattr(args, "tensorboard_dir", None),
             log_every=args.log_every,
-            start_epoch=start_epoch, best_fgd=best_fgd)
+            start_epoch=start_epoch, best_fgd=best_fgd,
+            checkpoint_every=getattr(args, "checkpoint_every", 1))
     return best_fgd

@@ -64,7 +64,8 @@ def run_training(cfg: Config,
                  log_every: int = 100,
                  epochs: Optional[int] = None,
                  start_epoch: int = 0,
-                 best_fgd: float = float("inf")):
+                 best_fgd: float = float("inf"),
+                 checkpoint_every: int = 1):
     """Runs the full schedule; returns (state, best_fgd).
 
     Exact resume: the per-step RNG is derived as
@@ -120,14 +121,17 @@ def run_training(cfg: Config,
             writer.scalar("BC/val", result.bc, epoch)
             writer.scalar("loss/val", result.loss, epoch)
 
-            if checkpoint_manager is not None:
+            improved = result.frechet_dist < best_fgd
+            if checkpoint_manager is not None and (
+                    improved or (epoch + 1) % checkpoint_every == 0
+                    or epoch == epochs - 1):
                 from hop_tpu.utils.checkpoint import strip_frozen
                 to_save, _ = strip_frozen(state)
                 checkpoint_manager.save(epoch, to_save, metadata={
                     "fgd": result.frechet_dist, "bc": result.bc,
                     "epoch": epoch,
                     "best_fgd": min(best_fgd, result.frechet_dist)})
-                if result.frechet_dist < best_fgd:
+                if improved:
                     checkpoint_manager.record_best(
                         "frechet", result.frechet_dist, epoch)
                     print("Saved the checkpoint (best FGD "
