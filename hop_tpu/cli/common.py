@@ -70,7 +70,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--use-hf-token-stream", action="store_true",
                    help="feed HF tokenizer ids to the LLM instead of the "
                         "reference's live-path quirk of fasttext vocab ids "
-                        "(run_ted.py:400 -> train_llm.py:17)")
+                        "(run_ted.py:400 -> train_llm.py:17); requires "
+                        "--hf-vocab")
+    p.add_argument("--hf-vocab", default=None,
+                   help="WordPiece vocab.txt for the HF token stream (the "
+                        "reference's BertTokenizer artifact; tokenisation "
+                        "matches transformers.BertTokenizer token-for-token, "
+                        "tests/test_wordpiece.py)")
     p.add_argument("--llm-model", default=None, choices=("BERT", "LLAMA"),
                    help="frozen backbone for AD_LLM (reference --llm_model, "
                         "run_ted.py:133-212); LLAMA uses LLaMA-7B geometry "
@@ -111,8 +117,29 @@ def apply_overrides(cfg: Config, args) -> Config:
     return cfg.replace(train=train, llm=llm)
 
 
+def make_tokenizer(args):
+    """WordPiece tokenizer for the HF token stream, or None.
+
+    The reference tokenizes every sample with BertTokenizer
+    (lmdb_data_loader.py:155); without a vocab artifact the stream would
+    silently be all zeros, so --use-hf-token-stream without --hf-vocab is
+    an error."""
+    vocab_path = getattr(args, "hf_vocab", None)
+    if not getattr(args, "use_hf_token_stream", False):
+        return None
+    if not vocab_path:
+        raise SystemExit(
+            "--use-hf-token-stream needs --hf-vocab <vocab.txt>: without a "
+            "WordPiece vocab the LLM token stream would be all zeros "
+            "(the reference builds its tokenizer from the BERT artifact, "
+            "run_ted.py:176-212)")
+    from hop_tpu.data.wordpiece import WordPieceTokenizer
+    return WordPieceTokenizer(vocab_path)
+
+
 def load_datasets(cfg: Config, args):
     """Returns (train_ds, val_ds, lang_model)."""
+    tokenizer = make_tokenizer(args)
     if args.data == "synthetic":
         tmp = Path(tempfile.mkdtemp(prefix="hop_synth_"))
         videos = synthetic.make_source_clips(
@@ -125,9 +152,10 @@ def load_datasets(cfg: Config, args):
         train_path = args.data
         val_path = args.val_data or args.data
 
-    train_ds = SpeechMotionDataset(train_path, cfg.data)
+    train_ds = SpeechMotionDataset(train_path, cfg.data, tokenizer=tokenizer)
     val_ds = SpeechMotionDataset(val_path, cfg.data,
-                                 speaker_model=train_ds.speaker_model)
+                                 speaker_model=train_ds.speaker_model,
+                                 tokenizer=tokenizer)
     source = getattr(args, "wordembed_path", None)
     if source and source.endswith(".bin"):
         from hop_tpu.data.fasttext_export import FastTextModel

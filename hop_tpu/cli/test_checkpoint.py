@@ -40,10 +40,31 @@ def main(argv=None):
                    help="after generation, run the full validation metrics "
                         "(L1/MAE/FGD/BC/diversity) like the reference's "
                         "test_checkpoint.py:526-545")
+    p.add_argument("--eval-net", default=None,
+                   help=".npz with the frozen FGD feature-net params for "
+                        "--evaluate (the reference's demo evaluates with "
+                        "the trained net, test_checkpoint.py:526-545; "
+                        "random init is used — and loudly labeled — when "
+                        "absent)")
+    p.add_argument("--vid", type=int, default=None,
+                   help="speaker id for synthesis; default draws one from "
+                        "the trained speaker model like the reference "
+                        "(random.randrange(model.z_obj.n_words), "
+                        "test_checkpoint.py:387)")
+    p.add_argument("--use-hf-token-stream", action="store_true",
+                   help="drive the LLM with WordPiece token ids (requires "
+                        "--hf-vocab; reference test_checkpoint.py:438-446)")
+    p.add_argument("--hf-vocab", default=None,
+                   help="WordPiece vocab.txt for --use-hf-token-stream")
     p.add_argument("--seed", type=int, default=2021)
     args = p.parse_args(argv)
+    tokenizer = C.make_tokenizer(args)
 
     cfg = ted_config() if args.dataset == "TED" else expressive_config()
+    if args.use_hf_token_stream:
+        import dataclasses
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, use_hf_token_stream=True))
     skel = cfg.data.skeleton
 
     if args.data == "synthetic":
@@ -143,9 +164,17 @@ def main(argv=None):
     def forward(in_audio, log_mel, text, pre_seq, vid, rng):
         return _fwd(variables, in_audio, log_mel, text, pre_seq, vid, rng)
 
+    # speaker: explicit --vid, else drawn from the trained speaker model
+    # like the reference (random.randrange(model.z_obj.n_words),
+    # test_checkpoint.py:387)
+    import random as _random
+    vid_index = (args.vid if args.vid is not None
+                 else _random.Random(args.seed).randrange(n_speakers))
+    print(f"vid: {vid_index}")
     out_dir_vec = generate_long_form(
         cfg, forward, clip.audio_raw, clip.words, seed_vec, lang,
-        vid_index=0, rng=jax.random.PRNGKey(args.seed))
+        vid_index=vid_index, tokenizer=tokenizer,
+        rng=jax.random.PRNGKey(args.seed))
     print(f"generated {out_dir_vec.shape[0]} frames "
           f"({out_dir_vec.shape[0] / cfg.data.pose_resampling_fps:.1f}s)")
 
@@ -158,9 +187,10 @@ def main(argv=None):
         import tempfile
         tmp = tempfile.mkdtemp(prefix="hop_eval_")
         DataPreprocessor(cfg.data, tmp + "/val").run(videos)
-        val_ds = SpeechMotionDataset(tmp + "/val", cfg.data)
+        val_ds = SpeechMotionDataset(tmp + "/val", cfg.data,
+                                     tokenizer=tokenizer)
         val_ds.set_lang_model(lang)
-        evaluator = C.make_fgd_evaluator(cfg, lang.n_words, None)
+        evaluator = C.make_fgd_evaluator(cfg, lang.n_words, args.eval_net)
 
         def gen(batch, vids, rng_step):
             return forward(batch["in_audio"], batch["log_mel"],

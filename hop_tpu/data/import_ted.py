@@ -99,10 +99,80 @@ def import_cache(src_path: str, out_path: str, data_cfg, fmt: str = "auto",
     return n
 
 
+def dry_import(src_path: str, src_kind: str, data_cfg, fmt: str = "auto"):
+    """Fast-fail validation of a user-supplied LMDB: parse the environment
+    header, count entries, decode ONE value and check its schema — without
+    running the full (hours-long on real TED data) import. Returns a
+    summary dict; raises with a pointed message on mismatch."""
+    from hop_tpu.data.lmdbfile import LmdbReader
+
+    reader = LmdbReader(src_path)
+    n_entries = 0
+    first = None
+    for key, value in reader.items():
+        if first is None:
+            first = (key, value)
+        n_entries += 1
+    if first is None:
+        raise ValueError(f"{src_path}: LMDB opens but contains no entries")
+    key, value = first
+    decoded = load_value(value, fmt)
+    summary = {"path": src_path, "entries": n_entries,
+               "first_key": key.decode("latin1"),
+               "value_bytes": len(value)}
+    if src_kind == "cache":
+        if not (isinstance(decoded, (list, tuple)) and len(decoded) == 6):
+            raise ValueError(
+                f"{src_path}: first value is {type(decoded).__name__} of "
+                f"length {len(decoded) if hasattr(decoded, '__len__') else '?'}"
+                " — a reference cache LMDB holds 6-element samples "
+                "[words, poses, vec, audio, spectrogram, aux] "
+                "(data_preprocessor.py:168-172); is this a SOURCE lmdb? "
+                "(drop --src-kind cache)")
+        words, poses, vec, audio, spec, aux = decoded
+        poses = np.asarray(poses)
+        want = int(round(data_cfg.n_poses * 1.25))
+        if poses.ndim < 2 or poses.shape[0] != want:
+            raise ValueError(
+                f"{src_path}: sample has {poses.shape} pose frames, schema "
+                f"expects {want} extended frames — wrong --dataset preset?")
+        summary.update(n_frames=int(poses.shape[0]),
+                       pose_shape=tuple(poses.shape),
+                       audio_len=int(np.asarray(audio).shape[0]),
+                       vid=aux.get("vid"))
+    else:
+        if not (isinstance(decoded, dict) and "clips" in decoded):
+            raise ValueError(
+                f"{src_path}: first value is not a video dict with 'clips' "
+                "(data_preprocessor.py:46-50) — is this a preprocessed "
+                "CACHE lmdb? (add --src-kind cache)")
+        clips = decoded["clips"]
+        need = ("skeletons_3d", "audio_raw", "words", "start_time",
+                "end_time")
+        missing = [k for k in need if clips and k not in clips[0]]
+        if missing:
+            raise ValueError(f"{src_path}: clip record lacks keys {missing}")
+        summary.update(vid=decoded.get("vid"), n_clips=len(clips),
+                       skeleton_shape=tuple(np.asarray(
+                           clips[0]["skeletons_3d"]).shape) if clips else ())
+        if clips:
+            n_joints = np.asarray(clips[0]["skeletons_3d"]).shape[1]
+            if n_joints != data_cfg.skeleton.n_joints:
+                raise ValueError(
+                    f"{src_path}: clips carry {n_joints} joints, --dataset "
+                    f"preset expects {data_cfg.skeleton.n_joints} "
+                    "(TED=10, TED_expressive=43)")
+    return summary
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(__doc__)
     p.add_argument("--src", required=True)
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--dry-import", action="store_true",
+                   help="validate the LMDB's header/first sample against "
+                        "the --dataset schema and exit — the first real "
+                        "import run fails fast instead of hours in")
     p.add_argument("--dataset", default="TED",
                    choices=("TED", "TED_expressive"))
     p.add_argument("--src-kind", default="source",
@@ -122,6 +192,13 @@ def main(argv=None):
     data_cfg = dataclasses.replace(
         cfg.data, truncate_videos_frac=args.truncate_videos_frac)
 
+    if args.dry_import:
+        summary = dry_import(args.src, args.src_kind, data_cfg, args.format)
+        print("dry-import ok:", " ".join(f"{k}={v}"
+                                         for k, v in summary.items()))
+        return 0
+    if args.out is None:
+        p.error("--out is required (unless --dry-import)")
     if args.src_kind == "cache":
         n = import_cache(args.src, args.out, data_cfg, args.format,
                          strict=not args.disable_filtering)

@@ -23,25 +23,25 @@ import numpy as np
 
 
 def _lin(sd, name):
-    return {"kernel": np.asarray(sd[name + ".weight"]).T,
-            "bias": np.asarray(sd[name + ".bias"])}
+    return {"kernel": np.array(sd[name + ".weight"]).T,
+            "bias": np.array(sd[name + ".bias"])}
 
 
 def _conv(sd, name):
-    return {"kernel": np.asarray(sd[name + ".weight"]).transpose(2, 1, 0),
-            "bias": np.asarray(sd[name + ".bias"])}
+    return {"kernel": np.array(sd[name + ".weight"]).transpose(2, 1, 0),
+            "bias": np.array(sd[name + ".bias"])}
 
 
 def _convT(sd, name):
-    w = np.asarray(sd[name + ".weight"]).transpose(2, 0, 1)[::-1].copy()
-    return {"kernel": w, "bias": np.asarray(sd[name + ".bias"])}
+    w = np.array(sd[name + ".weight"]).transpose(2, 0, 1)[::-1].copy()
+    return {"kernel": w, "bias": np.array(sd[name + ".bias"])}
 
 
 def _bn(sd, name):
-    return ({"scale": np.asarray(sd[name + ".weight"]),
-             "bias": np.asarray(sd[name + ".bias"])},
-            {"mean": np.asarray(sd[name + ".running_mean"]),
-             "var": np.asarray(sd[name + ".running_var"])})
+    return ({"scale": np.array(sd[name + ".weight"]),
+             "bias": np.array(sd[name + ".bias"])},
+            {"mean": np.array(sd[name + ".running_mean"]),
+             "var": np.array(sd[name + ".running_var"])})
 
 
 def _nest_bn(params_tree, stats_tree, key, sd, torch_name):

@@ -23,9 +23,9 @@ from hop_tpu.eval.torch_import import _lin, _conv, _bn
 
 def _wn_conv(sd: Dict, name: str) -> dict:
     return {
-        "v": np.asarray(sd[name + ".weight_v"]).transpose(2, 1, 0),
-        "g": np.asarray(sd[name + ".weight_g"]).reshape(-1),
-        "b": np.asarray(sd[name + ".bias"]),
+        "v": np.array(sd[name + ".weight_v"]).transpose(2, 1, 0),
+        "g": np.array(sd[name + ".weight_g"]).reshape(-1),
+        "b": np.array(sd[name + ".bias"]),
     }
 
 
@@ -43,7 +43,7 @@ def convert_text_encoder_tcn(sd: Dict, prefix: str, n_levels: int = 4
             block["Conv_0"] = _conv(sd, f"{base}.downsample")
         tcn[f"TemporalBlock_{i}"] = block
     return {
-        "embedding": np.asarray(sd[f"{prefix}embedding.weight"]),
+        "embedding": np.array(sd[f"{prefix}embedding.weight"]),
         "TemporalConvNet_0": tcn,
         "Dense_0": _lin(sd, f"{prefix}decoder"),
     }
@@ -72,7 +72,7 @@ def convert_gru(sd: Dict, prefix: str, n_layers: int, bidirectional: bool
                 torch_name = f"{prefix}{t}_l{layer}{sfx}"
                 flax_name = (t.replace("weight_", "w_").replace("bias_", "b_")
                              + f"_l{layer}{sfx}")
-                out[flax_name] = np.asarray(sd[torch_name])
+                out[flax_name] = np.array(sd[torch_name])
     return out
 
 
@@ -87,7 +87,7 @@ def convert_hierarchical_generator(sd: Dict, n_layers: int = 4,
                                                      tcn_levels),
         "SpeakerLatent_0": {
             "Embed_0": {"embedding":
-                        np.asarray(sd["speaker_embedding.0.weight"])},
+                        np.array(sd["speaker_embedding.0.weight"])},
             "Dense_0": _lin(sd, "speaker_embedding.1"),
             "Dense_1": _lin(sd, "speaker_mu"),
             "Dense_2": _lin(sd, "speaker_logvar"),
@@ -111,7 +111,7 @@ def convert_pose_generator(sd: Dict, n_layers: int = 4) -> dict:
     params["TextEncoderTCN_0"] = convert_text_encoder_tcn(sd, "text_encoder.")
 
     params["SpeakerLatent_0"] = {
-        "Embed_0": {"embedding": np.asarray(sd["speaker_embedding.0.weight"])},
+        "Embed_0": {"embedding": np.array(sd["speaker_embedding.0.weight"])},
         "Dense_0": _lin(sd, "speaker_embedding.1"),
         "Dense_1": _lin(sd, "speaker_mu"),
         "Dense_2": _lin(sd, "speaker_logvar"),
@@ -121,4 +121,21 @@ def convert_pose_generator(sd: Dict, n_layers: int = 4) -> dict:
     params["Dense_0"] = _lin(sd, "out.0")
     params["Dense_1"] = _lin(sd, "out.2")
 
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_conv_discriminator(sd: Dict, prefix: str = "") -> dict:
+    """ConvDiscriminator (multimodal_context_net.py:219-268) -> flax
+    variables: pre_conv Sequential indices 0/3/6 are Conv1d, 1/4 are BN;
+    then 4-layer BiGRU(64) and the two output linears."""
+    params, stats = {}, {}
+    for j, ci in enumerate((0, 3, 6)):
+        params[f"Conv_{j}"] = _conv(sd, f"{prefix}pre_conv.{ci}")
+    for j, bi in enumerate((1, 4)):
+        p, s = _bn(sd, f"{prefix}pre_conv.{bi}")
+        params[f"BatchNorm_{j}"] = {"BatchNorm_0": p}
+        stats[f"BatchNorm_{j}"] = {"BatchNorm_0": s}
+    params["GRU_0"] = convert_gru(sd, f"{prefix}gru.", 4, bidirectional=True)
+    params["Dense_0"] = _lin(sd, f"{prefix}out")
+    params["Dense_1"] = _lin(sd, f"{prefix}out2")
     return {"params": params, "batch_stats": stats}

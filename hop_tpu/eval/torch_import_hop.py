@@ -26,22 +26,22 @@ from hop_tpu.models.bert import convert_hf_bert_params
 
 def _dense_from_conv1x1(sd: Dict, name: str) -> dict:
     """torch Conv2d (out, in, 1, 1) -> flax Dense (in, out)."""
-    w = np.asarray(sd[name + ".weight"])[:, :, 0, 0]
-    return {"kernel": w.T, "bias": np.asarray(sd[name + ".bias"])}
+    w = np.array(sd[name + ".weight"])[:, :, 0, 0]
+    return {"kernel": w.T, "bias": np.array(sd[name + ".bias"])}
 
 
 def _temporal_conv(sd: Dict, name: str) -> dict:
     """torch Conv2d (out, in, 1, k) -> gwnet _TemporalConv (k, 1, in, out)."""
-    w = np.asarray(sd[name + ".weight"]).transpose(3, 2, 1, 0)
-    return {"kernel": w, "bias": np.asarray(sd[name + ".bias"])}
+    w = np.array(sd[name + ".weight"]).transpose(3, 2, 1, 0)
+    return {"kernel": w, "bias": np.array(sd[name + ".bias"])}
 
 
 def convert_gwnet(sd: Dict, prefix: str = "gwnet.", n_layers: int = 8
                   ) -> tuple:
     """gwnet state dict -> (params, batch_stats) for GraphWaveNet."""
     params = {
-        "nodevec1": np.asarray(sd[prefix + "nodevec1"]),
-        "nodevec2": np.asarray(sd[prefix + "nodevec2"]),
+        "nodevec1": np.array(sd[prefix + "nodevec1"]),
+        "nodevec2": np.array(sd[prefix + "nodevec2"]),
         "start_conv": _dense_from_conv1x1(sd, prefix + "start_conv"),
         "end_conv_1": _dense_from_conv1x1(sd, prefix + "end_conv_1"),
         "end_conv_2": _dense_from_conv1x1(sd, prefix + "end_conv_2"),
@@ -69,7 +69,7 @@ def convert_hop_model(sd: Dict, cfg: Config) -> dict:
     params["llm"] = convert_hf_bert_params(llm_sd, cfg.llm)
 
     params["speaker"] = {
-        "Embed_0": {"embedding": np.asarray(sd["speaker_embedding.0.weight"])},
+        "Embed_0": {"embedding": np.array(sd["speaker_embedding.0.weight"])},
         "Dense_0": _lin(sd, "speaker_embedding.1"),
         "Dense_1": _lin(sd, "speaker_mu"),
         "Dense_2": _lin(sd, "speaker_logvar"),
@@ -77,8 +77,8 @@ def convert_hop_model(sd: Dict, cfg: Config) -> dict:
 
     if cfg.hop.use_reprogramming:
         params["mapping_layer"] = {
-            "kernel": np.asarray(sd["mapping_layer.weight"]),
-            "bias": np.asarray(sd["mapping_layer.bias"]),
+            "kernel": np.array(sd["mapping_layer.weight"]),
+            "bias": np.array(sd["mapping_layer.bias"]),
         }
         params["align_layer"] = _lin(sd, "align_layer")
         params["reprogramming_layer"] = {

@@ -150,7 +150,10 @@ def convert_hf_bert_params(hf_state_dict: dict, cfg: LLMConfig) -> dict:
     import numpy as np
 
     def t(name):
-        return np.asarray(hf_state_dict[name])
+        # copy: np.asarray on a torch tensor is a VIEW of torch memory —
+        # in-place optimizer steps on the torch side would silently mutate
+        # the "converted" weights
+        return np.array(hf_state_dict[name])
 
     params = {
         "word_embeddings": {

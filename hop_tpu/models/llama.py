@@ -167,7 +167,7 @@ def convert_hf_llama_params(hf_state_dict: dict, cfg: LLMConfig) -> dict:
     import numpy as np
 
     def t(name):
-        return np.asarray(hf_state_dict[name])
+        return np.array(hf_state_dict[name])  # copy, not a torch-memory view
 
     params = {
         "word_embeddings": {"embedding": t("embed_tokens.weight")},

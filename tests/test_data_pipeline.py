@@ -122,3 +122,27 @@ def test_calculate_data_mean(rng):
     mv, mp, bl = calculate_data_mean(vecs, poses, skel)
     assert mv.shape == (9, 3) and mp.shape == (10, 3) and bl.shape == (9,)
     np.testing.assert_allclose(mv, vecs[0].mean(axis=0), atol=1e-9)
+
+
+def test_truncate_videos_frac_process_then_check(tmp_path):
+    """Pin the reference's 50%-quirk loop shape (data_preprocessor.py:55-57):
+    each video is processed FIRST, then `if n_data > n_videos * 0.5: break`
+    — so the video that crosses the limit is still processed. With 10
+    videos at frac 0.5 that is videos 1..6 (after video 5, 5 > 5 is false;
+    video 6 is processed, then 6 > 5 breaks)."""
+    import dataclasses
+    cfg = ted_config()
+    videos = synthetic.make_source_clips(cfg, n_videos=10, clip_seconds=6.0)
+    data_cfg = dataclasses.replace(cfg.data, truncate_videos_frac=0.5)
+
+    per_video = []
+    for i, v in enumerate(videos):
+        pre = DataPreprocessor(cfg.data, str(tmp_path / f"one{i}"),
+                               disable_filtering=True)
+        per_video.append(pre.run([v]))
+
+    pre = DataPreprocessor(data_cfg, str(tmp_path / "trunc"),
+                           disable_filtering=True)
+    n = pre.run(videos)
+    assert n == sum(per_video[:6])
+    assert n < sum(per_video)

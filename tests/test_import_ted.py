@@ -230,3 +230,40 @@ def test_import_cache_wrong_dataset_raises(source_fixture, tmp_path):
         # expressive schema expects 126-dim poses; the vec reshape fails
         # first with a clear error either way
         import_cache(d, str(tmp_path / "o"), expressive_config().data)
+
+
+def test_dry_import_source(source_fixture, tmp_path, capsys):
+    from hop_tpu.data.import_ted import main, dry_import
+    from hop_tpu.config import expressive_config
+    cfg, lmdb_dir, _ = source_fixture
+    assert main(["--src", lmdb_dir, "--dry-import"]) == 0
+    out = capsys.readouterr().out
+    assert "dry-import ok" in out and "entries=2" in out
+    # wrong dataset preset fails fast with a pointed message
+    with pytest.raises(ValueError, match="joints"):
+        dry_import(lmdb_dir, "source", expressive_config().data)
+    # wrong kind fails fast too
+    with pytest.raises(ValueError, match="SOURCE"):
+        dry_import(lmdb_dir, "cache", cfg.data)
+
+
+def test_dry_import_cache_kind_mismatch(source_fixture, tmp_path):
+    """A cache LMDB probed as source says 'add --src-kind cache'."""
+    from hop_tpu.data.import_ted import dry_import
+    cfg, _, direct = source_fixture
+    skel = cfg.data.skeleton
+    schema = schema_for(cfg.data.n_poses, cfg.data.pose_resampling_fps,
+                        skel.n_joints, skel.n_bones, cfg.data.mel_bins)
+    reader = RecordReader(direct, schema, use_native=False)
+    rec, aux = reader[0]
+    value = [[], np.asarray(rec["pose_seq"]),
+             np.asarray(rec["vec_seq"]).reshape(schema.n_frames_ext, -1),
+             np.asarray(rec["audio"]), np.asarray(rec["spectrogram"]),
+             {"vid": aux["vid"], "start_frame_no": 0, "end_frame_no": 42,
+              "start_time": 0.0, "end_time": 2.8}]
+    d = str(tmp_path / "cachefix")
+    write_lmdb(d, {b"0000000000": arrow_legacy.serialize(value)})
+    with pytest.raises(ValueError, match="CACHE"):
+        dry_import(d, "source", cfg.data)
+    s = dry_import(d, "cache", cfg.data)
+    assert s["entries"] == 1 and s["n_frames"] == schema.n_frames_ext

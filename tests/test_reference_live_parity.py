@@ -1,0 +1,453 @@
+"""Ground-truth parity against the reference's OWN torch code.
+
+Every other parity test in this suite compares against torch modules the
+builder re-wrote; these import /root/reference's actual `model.HOP`,
+`model.gwnet`, `model.multimodal_context_net` and
+`train_eval.train_llm` (with the same four module stubs
+benchmarks/measure_reference.py uses for DSP/storage libs the model code
+never touches), copy the weights through our converters, and assert
+forward and loss-step parity. A shared misreading of the reference can no
+longer pass: the oracle is their code.
+
+Determinism protocol (both sides, applied symmetrically in each test):
+  * gaussian draws zeroed — torch.randn_like / jax.random.normal return
+    zeros, so reparameterize gives z == mu and the D-step noise vanishes;
+  * the diversity-regulariser permutation pinned to a roll-by-one —
+    torch.randperm -> (arange+1) % n, jax.random.permutation -> roll(-1);
+  * dropout off — every torch nn.Dropout p=0 / GRU dropout=0, flax
+    Dropout patched to identity (the reference trains with reprogramming
+    attention dropout 0.1; zeroing it on BOTH sides keeps the comparison
+    exact without changing either side's math);
+  * BatchNorm: train-mode forwards use batch statistics on both sides,
+    eval-mode forwards use the (converted) running stats — deterministic
+    either way.
+"""
+
+import argparse
+import dataclasses
+import importlib.machinery
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+
+from hop_tpu.config import ted_config
+from hop_tpu.eval.torch_import_hop import convert_hop_model, convert_gwnet
+from hop_tpu.eval.torch_import_generator import (convert_pose_generator,
+                                                 convert_conv_discriminator)
+from hop_tpu.models.hop import HOPModel
+from hop_tpu.models.gwnet import GraphWaveNet
+from hop_tpu.models.multimodal_context import (PoseGenerator,
+                                               ConvDiscriminator)
+from hop_tpu.train.llm import make_hop_train_steps
+
+pytestmark = pytest.mark.slow
+
+REF = "/root/reference"
+N_SPEAKERS = 10
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the live reference modules (stubbing DSP/storage libs their
+    module scope pulls in but the timed/compared code never calls)."""
+    added = []
+    for m in ("librosa", "soundfile", "lmdb", "fasttext"):
+        if m not in sys.modules:
+            mod = types.ModuleType(m)
+            mod.__spec__ = importlib.machinery.ModuleSpec(m, loader=None)
+            sys.modules[m] = mod
+            added.append(m)
+    sys.path.insert(0, REF)
+    import torch
+    from model import HOP, gwnet, multimodal_context_net, vocab
+    from train_eval.train_llm import train_llm
+    yield SimpleNamespace(torch=torch, HOP=HOP, gwnet=gwnet,
+                          mcn=multimodal_context_net, vocab=vocab,
+                          train_llm=train_llm)
+    sys.path.remove(REF)
+    for m in added:
+        sys.modules.pop(m, None)
+    for name in [k for k in list(sys.modules)
+                 if k.split(".")[0] in ("model", "train_eval", "data_loader",
+                                        "utils")]:
+        sys.modules.pop(name, None)
+
+
+def _ref_args(llm_layers):
+    """run_ted.py defaults, as measure_reference.py assembles them."""
+    return argparse.Namespace(
+        d_model=128, n_heads=8, d_ff=128, dropout=0.1,
+        llm_model="BERT", llm_dim=768, datasets="TED",
+        n_poses=34, pose_dim=27, wordembed_dim=300, n_pre_poses=4,
+        z_type="speaker", loss_regression_weight=600.0, loss_gan_weight=5.0,
+        loss_kld_weight=0.6, loss_reg_weight=0.4,
+        use_gwnet=True, use_reprograme=True, llm_layers=llm_layers,
+        learning_rate=0.01)
+
+
+class _Tok:
+    eos_token = None
+    pad_token = None
+
+    def add_special_tokens(self, d):
+        return 0
+
+
+class _Speakers:
+    n_words = N_SPEAKERS
+
+
+def _build_torch_hop(ref, llm_layers, seed=0):
+    torch = ref.torch
+    from transformers import BertConfig, BertModel
+    torch.manual_seed(seed)
+    bcfg = BertConfig(num_hidden_layers=llm_layers)
+    llm = BertModel(bcfg)
+    return ref.HOP.Model(_ref_args(llm_layers), llm, _Tok(),
+                         _Speakers()).float()
+
+
+def _our_cfg(llm_layers):
+    cfg = ted_config()
+    return cfg.replace(llm=dataclasses.replace(
+        cfg.llm, n_layers=llm_layers, compute_bf16=False))
+
+
+def _zero_dropout(torch, *modules):
+    for module in modules:
+        for m in module.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.p = 0.0
+            if isinstance(m, torch.nn.GRU):
+                m.dropout = 0.0
+
+
+def _patch_gaussians(monkeypatch, torch):
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda t, **k: torch.zeros_like(t))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32, *a, **k:
+            jnp.zeros(shape, dtype))
+
+
+def _patch_permutations(monkeypatch, torch):
+    monkeypatch.setattr(torch, "randperm",
+                        lambda n, **k: (torch.arange(n) + 1) % n)
+    monkeypatch.setattr(jax.random, "permutation",
+                        lambda key, x, *a, **k: jnp.roll(x, -1))
+
+
+def _patch_flax_dropout(monkeypatch):
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__",
+        lambda self, inputs, deterministic=None, rng=None: inputs)
+
+
+def _hop_inputs(B, seed=7, pose_dim=27):
+    r = np.random.default_rng(seed)
+    return {
+        "in_audio": r.standard_normal((B, 36267)).astype(np.float32),
+        "log_mel": r.standard_normal((B, 34, 128)).astype(np.float32),
+        "text": r.integers(0, 30522, (B, 34)).astype(np.int64),
+        "target": (r.standard_normal((B, 34, pose_dim)) * 0.1
+                   ).astype(np.float32),
+        "vids": (np.arange(B) % N_SPEAKERS).astype(np.int64),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward parity
+# ---------------------------------------------------------------------------
+
+def test_hop_full_forward_parity(ref, monkeypatch):
+    """model/HOP.py:177-252 forecast vs HOPModel.__call__ — same weights,
+    same inputs, eval mode, z == mu."""
+    torch = ref.torch
+    _patch_gaussians(monkeypatch, torch)
+
+    model_t = _build_torch_hop(ref, llm_layers=6)
+    model_t.eval()
+    x = _hop_inputs(2)
+    with torch.no_grad():
+        out_t, z_t, mu_t, logvar_t = model_t(
+            torch.from_numpy(x["in_audio"]), torch.from_numpy(x["log_mel"]),
+            torch.from_numpy(x["text"]),
+            torch.from_numpy(x["target"][:, :16]),
+            torch.from_numpy(x["vids"]))
+
+    cfg = _our_cfg(6)
+    variables = convert_hop_model(model_t.state_dict(), cfg)
+    model_j = HOPModel(cfg, n_speakers=N_SPEAKERS)
+    out_j, z_j, mu_j, logvar_j = model_j.apply(
+        variables, jnp.asarray(x["in_audio"]), jnp.asarray(x["log_mel"]),
+        jnp.asarray(x["text"]), jnp.asarray(x["target"][:, :16]),
+        jnp.asarray(x["vids"]), rng=jax.random.PRNGKey(0), train=False)
+
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(logvar_j), logvar_t.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z_j), z_t.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=1e-3, atol=2e-4)
+
+
+def test_gwnet_forward_parity_live(ref):
+    """model/gwnet.py:49-249 (adaptive adjacency, as HOP constructs it,
+    HOP.py:143) vs GraphWaveNet, converted weights."""
+    torch = ref.torch
+    torch.manual_seed(1)
+    net_t = ref.gwnet.gwnet(
+        torch.device("cpu"), 9, dropout=0, supports=None, gcn_bool=True,
+        addaptadj=True, aptinit=None, in_dim=173, out_dim=173,
+        residual_channels=64, dilation_channels=64, skip_channels=256,
+        end_channels=512)
+    net_t.eval()
+    x = np.random.default_rng(0).standard_normal(
+        (2, 173, 9, 16)).astype(np.float32)  # torch layout (B, C, N, T)
+    with torch.no_grad():
+        y_t = net_t(torch.from_numpy(x))
+
+    params, stats = convert_gwnet(net_t.state_dict(), prefix="", n_layers=8)
+    net_j = GraphWaveNet(num_nodes=9, in_dim=173, out_dim=173,
+                         residual_channels=64, dilation_channels=64,
+                         skip_channels=256, end_channels=512)
+    y_j = net_j.apply({"params": params, "batch_stats": stats},
+                      jnp.transpose(jnp.asarray(x), (0, 3, 2, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 2, 1)),
+                               y_t.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_pose_generator_forward_parity_live(ref, monkeypatch):
+    """multimodal_context_net.PoseGenerator (:66-172) vs our PoseGenerator,
+    weights converted with convert_pose_generator."""
+    torch = ref.torch
+    _patch_gaussians(monkeypatch, torch)
+    torch.manual_seed(2)
+
+    spk = ref.vocab.Vocab("spk")
+    for i in range(N_SPEAKERS - spk.n_words):
+        spk.index_word(f"s{i}")
+    args = argparse.Namespace(n_pre_poses=4, n_poses=34,
+                              input_context="both", hidden_size=300,
+                              n_layers=4, dropout_prob=0.3,
+                              freeze_wordembed=False)
+    n_words = 50
+    gen_t = ref.mcn.PoseGenerator(args, pose_dim=27, n_words=n_words,
+                                  word_embed_size=300, word_embeddings=None,
+                                  z_obj=spk).float()
+    gen_t.eval()
+
+    r = np.random.default_rng(3)
+    B = 2
+    target = (r.standard_normal((B, 34, 27)) * 0.1).astype(np.float32)
+    pre_seq = np.zeros((B, 34, 28), np.float32)   # train_gan.py:20-22
+    pre_seq[:, :4, :-1] = target[:, :4]
+    pre_seq[:, :4, -1] = 1.0
+    in_text = r.integers(0, n_words, (B, 34)).astype(np.int64)
+    in_audio = r.standard_normal((B, 36267)).astype(np.float32)
+    vids = (np.arange(B) % N_SPEAKERS).astype(np.int64)
+
+    with torch.no_grad():
+        out_t, z_t, mu_t, _ = gen_t(
+            torch.from_numpy(pre_seq), torch.from_numpy(in_text),
+            torch.from_numpy(in_audio), torch.from_numpy(vids))
+
+    gen_j = PoseGenerator(pose_dim=27, n_words=n_words,
+                          n_speakers=N_SPEAKERS)
+    variables = convert_pose_generator(gen_t.state_dict())
+    out_j, z_j, mu_j, _ = gen_j.apply(
+        variables, jnp.asarray(pre_seq), jnp.asarray(in_text),
+        jnp.asarray(in_audio), jnp.asarray(vids),
+        rng=jax.random.PRNGKey(0), train=False)
+
+    np.testing.assert_allclose(np.asarray(z_j), z_t.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=1e-3, atol=2e-4)
+
+
+def test_conv_discriminator_forward_parity_live(ref):
+    """multimodal_context_net.ConvDiscriminator (:219-268), eval mode."""
+    torch = ref.torch
+    torch.manual_seed(4)
+    dis_t = ref.mcn.ConvDiscriminator(27).float()
+    dis_t.eval()
+    poses = (np.random.default_rng(5).standard_normal((3, 34, 27)) * 0.1
+             ).astype(np.float32)
+    with torch.no_grad():
+        y_t = dis_t(torch.from_numpy(poses))
+    dis_j = ConvDiscriminator()
+    variables = convert_conv_discriminator(dis_t.state_dict())
+    y_j = dis_j.apply(variables, jnp.asarray(poses), train=False)
+    np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# loss-step parity (the reference's own train_llm drives the torch side)
+# ---------------------------------------------------------------------------
+
+def _torch_step_setup(ref, llm_layers, cfg):
+    torch = ref.torch
+    model_t = _build_torch_hop(ref, llm_layers)
+    model_t.train()
+    dis_t = ref.mcn.ConvDiscriminator(27).float()
+    dis_t.train()
+    _zero_dropout(torch, model_t, dis_t)
+    trained = [p for p in model_t.parameters() if p.requires_grad]
+    g_opt = torch.optim.Adam(trained, lr=cfg.train.learning_rate,
+                             betas=cfg.train.betas)
+    d_opt = torch.optim.Adam(
+        dis_t.parameters(),
+        lr=cfg.train.learning_rate * cfg.train.dis_lr_scale,
+        betas=cfg.train.betas)
+    from accelerate import Accelerator
+    acc = Accelerator(cpu=True)
+    return model_t, dis_t, g_opt, d_opt, acc
+
+
+def _our_step_setup(cfg, model_t, dis_t):
+    model_j = HOPModel(cfg, n_speakers=N_SPEAKERS)
+    dis_j = ConvDiscriminator()
+    gen_vars = convert_hop_model(model_t.state_dict(), cfg)
+    dis_vars = convert_conv_discriminator(dis_t.state_dict())
+    warmup_step, gan_step, init_state = make_hop_train_steps(
+        cfg, model_j, dis_j)
+    state = init_state(gen_vars, dis_vars)
+    return warmup_step, gan_step, state
+
+
+def _our_batch(x):
+    return {"in_audio": jnp.asarray(x["in_audio"]),
+            "log_mel": jnp.asarray(x["log_mel"]),
+            "text_padded": jnp.asarray(x["text"]),
+            "target_vec": jnp.asarray(x["target"]),
+            "vid_indices": jnp.asarray(x["vids"])}
+
+
+def _assert_metrics_match(ours, theirs, rel):
+    for key, want in theirs.items():
+        got = float(ours[key])
+        # DIV_REG is a quotient of two forward-DIFFERENCE quantities
+        # (pose_l1 between the vids/rand-vids forwards over z_l1,
+        # train_llm.py:60-69); each framework's own fp32 forward noise
+        # (~1e-3 on outputs) barely cancels in the difference, so this
+        # term carries ~10x the relative noise of the direct losses
+        key_rel = rel * 25 if key == "DIV_REG" else rel
+        assert got == pytest.approx(want, rel=key_rel, abs=1e-4), (
+            f"{key}: ours={got} reference={want}")
+
+
+@pytest.mark.parametrize("llm_layers", [2])
+def test_train_llm_warmup_step_parity(ref, monkeypatch, llm_layers):
+    """Pre-GAN step (epoch <= 10): huber + KLD + diversity values from the
+    reference's train_llm (train_eval/train_llm.py:40-98) match ours, and a
+    second step (through both Adam updates) still matches."""
+    torch = ref.torch
+    _patch_gaussians(monkeypatch, torch)
+    _patch_permutations(monkeypatch, torch)
+    _patch_flax_dropout(monkeypatch)
+
+    cfg = _our_cfg(llm_layers)
+    model_t, dis_t, g_opt, d_opt, acc = _torch_step_setup(
+        ref, llm_layers, cfg)
+    warmup_step, _, state = _our_step_setup(cfg, model_t, dis_t)
+
+    args = _ref_args(llm_layers)
+    x = _hop_inputs(4)
+    tt = {k: torch.from_numpy(v) for k, v in x.items()}
+    batch = _our_batch(x)
+    init_kernels = {k: np.array(state.gen_params[k]["kernel"])
+                    for k in ("out_fc2", "beat_fc1")}
+
+    for step_i, rel in ((1, 2e-3), (2, 1e-2)):
+        ret = ref.train_llm(args, 5, tt["in_audio"], tt["log_mel"],
+                            tt["text"], tt["target"], tt["vids"],
+                            model_t, dis_t, g_opt, d_opt, acc)
+        state, metrics = warmup_step(state, batch,
+                                     jax.random.PRNGKey(step_i))
+        assert set(ret) == {"loss", "KLD", "DIV_REG"}
+        _assert_metrics_match(metrics, ret, rel)
+
+    # post-step parameter check, relative to the update magnitude: step-1
+    # Adam is ~ lr*sign(grad) per element, so elements whose true gradient
+    # is below the cross-framework fp32 noise floor flip sign — an
+    # elementwise comparison is meaningless there. Instead require the
+    # MEAN deviation between the two frameworks' updated params to be a
+    # small fraction of the mean update they both took.
+    sd = convert_hop_model(model_t.state_dict(), cfg)
+    for key in ("out_fc2", "beat_fc1"):
+        ours = np.asarray(state.gen_params[key]["kernel"])
+        theirs = np.asarray(sd["params"][key]["kernel"])
+        update = np.abs(theirs - init_kernels[key]).mean()
+        ratio = np.abs(ours - theirs).mean() / update
+        # step-1 Adam moves EVERY element by exactly ±lr (g/sqrt(g^2)), so
+        # ratio ~= 2 * (fraction of elements whose tiny true gradient sits
+        # below the fp32 noise floor and flipped sign); beat_fc1 sees only
+        # 16 windows x B=4 of random audio, so ~15% of its gradient
+        # entries are noise-floor -> ratio up to ~0.3 with correct math
+        assert ratio < 0.4, f"{key}: |ours-theirs|/|update| = {ratio:.4f}"
+
+
+@pytest.mark.parametrize("llm_layers", [2])
+def test_train_llm_gan_step_parity(ref, monkeypatch, llm_layers):
+    """Full GAN-phase step (epoch > 10, train_llm.py:15-98): D update on
+    (zeroed-)noise targets, G update with the adversarial term — loss
+    values and the D update itself match."""
+    torch = ref.torch
+    _patch_gaussians(monkeypatch, torch)
+    _patch_permutations(monkeypatch, torch)
+    _patch_flax_dropout(monkeypatch)
+
+    cfg = _our_cfg(llm_layers)
+    model_t, dis_t, g_opt, d_opt, acc = _torch_step_setup(
+        ref, llm_layers, cfg)
+    _, gan_step, state = _our_step_setup(cfg, model_t, dis_t)
+
+    args = _ref_args(llm_layers)
+    x = _hop_inputs(4, seed=11)
+    tt = {k: torch.from_numpy(v) for k, v in x.items()}
+    batch = _our_batch(x)
+    dis_init = {k: np.array(state.dis_params[k]["kernel"])
+                for k in ("Dense_0", "Dense_1")}
+
+    ret = ref.train_llm(args, 12, tt["in_audio"], tt["log_mel"],
+                        tt["text"], tt["target"], tt["vids"],
+                        model_t, dis_t, g_opt, d_opt, acc)
+    state, metrics = gan_step(state, batch, jax.random.PRNGKey(0))
+    assert set(ret) == {"loss", "KLD", "DIV_REG", "gen", "dis"}
+    _assert_metrics_match(metrics, ret, rel=2e-3)
+
+    # the discriminator Adam step agrees (shallow net -> tight gradients);
+    # same update-relative criterion as the warmup test
+    dsd = convert_conv_discriminator(dis_t.state_dict())
+    for key in ("Dense_0", "Dense_1"):
+        ours = np.asarray(state.dis_params[key]["kernel"])
+        theirs = np.asarray(dsd["params"][key]["kernel"])
+        update = np.abs(theirs - dis_init[key]).mean()
+        ratio = np.abs(ours - theirs).mean() / update
+        assert ratio < 0.1, f"{key}: |ours-theirs|/|update| = {ratio:.4f}"
+
+    # second step exercises parity through BOTH updated networks. The
+    # comparison is loose by necessity: step-1 Adam moves every G weight
+    # by exactly +-lr, and weights whose true gradient is below the fp32
+    # noise floor take opposite signs in the two frameworks — after that
+    # the GAN feedback (-log D(out)) amplifies the divergence chaotically.
+    # Step-1 matching at 0.2% plus the D-update ratio check above carry
+    # the exactness claim; this asserts the trajectories stay together.
+    ret2 = ref.train_llm(args, 12, tt["in_audio"], tt["log_mel"],
+                         tt["text"], tt["target"], tt["vids"],
+                         model_t, dis_t, g_opt, d_opt, acc)
+    state, metrics2 = gan_step(state, batch, jax.random.PRNGKey(1))
+    _assert_metrics_match(metrics2, ret2, rel=0.25)
