@@ -1,0 +1,270 @@
+"""Same-fixture quality A/B: the reference's own torch training vs ours.
+
+Round-2 verdict: the ours-vs-reference FGD table was empty because the
+real TED artifacts are absent — but the reference's own model + train step
+run fine in this environment. This harness trains BOTH implementations on
+the SAME fixture dataset (a reference-format source LMDB imported through
+import_ted) and evaluates BOTH with the SAME trained FGD feature net
+through our evaluator, producing directly comparable FGD/diversity
+trajectories:
+
+  1. fabricate a reference-format source LMDB from synthetic clips and
+     import it (data/import_ted.py) into the record store;
+  2. train our gesture_autoencoder on it and export the FGD feature net
+     (the artifact the reference only consumes, run_ted.py:126);
+  3. train our HOP (parity step) for N epochs, recording FGD per epoch;
+  4. train the reference's torch HOP with the reference's OWN
+     model.HOP.Model + multimodal_context_net.ConvDiscriminator +
+     train_eval.train_llm and run_ted.py's optimizer settings
+     (:338-346) over the SAME per-epoch batch stream, evaluating each
+     epoch with the same eval net (model.train(False) during eval,
+     restored after — Evaluate.py:145,290).
+
+Both sides use a randomly initialised frozen BERT (no pretrained weights
+exist offline; each framework takes its own init — this is a quality A/B
+of the training machinery, not a bitwise comparison). The mel frontend is
+ours on both sides (validated against the reference's librosa semantics).
+
+Usage:
+  python benchmarks/compare_reference_quality.py --epochs 15 \
+      [--batch-size 32] [--videos 3] [--seconds 25] [--out AB.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import importlib.machinery
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_fixture(workdir: str, cfg, n_videos: int, seconds: float,
+                  seed: int):
+    """Reference-format source LMDB -> imported record store path."""
+    import numpy as np
+    from hop_tpu.data import arrow_legacy, synthetic
+    from hop_tpu.data.lmdbfile import write_lmdb
+    from hop_tpu.data import import_ted
+
+    videos = synthetic.make_source_clips(cfg, n_videos=n_videos,
+                                         clip_seconds=seconds, seed=seed)
+    items = {}
+    for i, (vid, clips) in enumerate(videos):
+        video = {"vid": vid, "clips": [{
+            "skeletons_3d": np.asarray(c.skeletons_3d),
+            "audio_raw": np.asarray(c.audio_raw),
+            "audio_feat": np.asarray(c.audio_spectrogram),
+            "words": [list(w) for w in c.words],
+            "start_frame_no": c.start_frame_no,
+            "end_frame_no": c.end_frame_no,
+            "start_time": c.start_time, "end_time": c.end_time,
+        } for c in clips]}
+        items[b"%010d" % i] = arrow_legacy.serialize(video)
+    lmdb_dir = os.path.join(workdir, "lmdb_train")
+    write_lmdb(lmdb_dir, items)
+    rec = os.path.join(workdir, "records", "train")
+    os.makedirs(os.path.dirname(rec), exist_ok=True)
+    import_ted.main(["--src", lmdb_dir, "--out", rec, "--dataset", "TED"])
+    return rec
+
+
+def train_eval_net(rec: str, workdir: str, batch_size: int, seed: int):
+    from hop_tpu.cli import run_ted
+    from hop_tpu.eval import export_eval_net
+    ck = os.path.join(workdir, "ck_ae")
+    run_ted.main(["--model", "gesture_autoencoder", "--data", rec,
+                  "--epochs", "10", "--batch-size", str(batch_size),
+                  "--checkpoint-dir", ck, "--seed", str(seed),
+                  "--metrics", os.path.join(workdir, "ae.jsonl"),
+                  "--log-every", "1000000"])
+    out = os.path.join(workdir, "evalnet.npz")
+    export_eval_net.main(["--checkpoint-dir", ck, "--out", out])
+    return out
+
+
+def run_ours(cfg, rec: str, eval_net: str, args):
+    """Our HOP, reference-parity step, trajectory via compare_fused_step."""
+    from benchmarks.compare_fused_step import run_variant
+    from types import SimpleNamespace
+    a = SimpleNamespace(data=rec, epochs=args.epochs,
+                        batch_size=args.batch_size, eval_net=eval_net,
+                        seed=args.seed)
+    return run_variant(cfg, a, fused=False)
+
+
+def _stub(name):
+    if name not in sys.modules:
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules[name] = mod
+
+
+def run_reference(cfg, rec: str, eval_net: str, args):
+    """The reference's own torch model/step/optimizers on the same data."""
+    for m in ("librosa", "soundfile", "lmdb", "fasttext"):
+        _stub(m)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+    import numpy as np
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from transformers import BertConfig, BertModel
+    from model import HOP
+    from model.multimodal_context_net import ConvDiscriminator
+    from train_eval.train_llm import train_llm
+    from accelerate import Accelerator
+
+    from hop_tpu.cli import common as C
+    from hop_tpu.eval.evaluate import evaluate_testset
+
+    train_ds, val_ds, lang = C.load_datasets(cfg, types.SimpleNamespace(
+        data=rec, val_data=None, wordembed_path=None,
+        synthetic_videos=0, seed=args.seed))
+    n_speakers = max(train_ds.speaker_model.n_words, 1)
+    bs = min(args.batch_size, len(train_ds))
+
+    torch.manual_seed(args.seed)
+    bcfg = BertConfig(num_hidden_layers=cfg.llm.n_layers)
+    llm = BertModel(bcfg)
+
+    class _Tok:
+        eos_token = None
+        pad_token = None
+
+        def add_special_tokens(self, d):
+            return 0
+
+    class _Speakers:
+        n_words = n_speakers
+
+    ref_args = argparse.Namespace(
+        d_model=128, n_heads=8, d_ff=128, dropout=0.1,
+        llm_model="BERT", llm_dim=768, datasets="TED",
+        n_poses=34, pose_dim=27, wordembed_dim=300, n_pre_poses=4,
+        z_type="speaker",
+        loss_regression_weight=cfg.loss.regression_weight,
+        loss_gan_weight=cfg.loss.gan_weight,
+        loss_kld_weight=cfg.loss.kld_weight,
+        loss_reg_weight=cfg.loss.reg_weight,
+        use_gwnet=True, use_reprograme=True,
+        llm_layers=cfg.llm.n_layers,
+        learning_rate=cfg.train.learning_rate)
+
+    model = HOP.Model(ref_args, llm, _Tok(), _Speakers()).float()
+    discriminator = ConvDiscriminator(cfg.data.pose_dim)
+    trained = [p for p in model.parameters() if p.requires_grad]
+    g_opt = torch.optim.Adam(trained, lr=cfg.train.learning_rate,
+                             betas=cfg.train.betas)
+    d_opt = torch.optim.Adam(
+        discriminator.parameters(),
+        lr=cfg.train.learning_rate * cfg.train.dis_lr_scale,
+        betas=cfg.train.betas)
+    acc = Accelerator(cpu=True)
+
+    evaluator = C.make_fgd_evaluator(cfg, lang.n_words, eval_net)
+
+    def torch_gen(batch, vids, rng):
+        with torch.no_grad():
+            out, *_ = model(
+                torch.from_numpy(np.asarray(batch["in_audio"])),
+                torch.from_numpy(np.asarray(batch["log_mel"])),
+                torch.from_numpy(np.asarray(batch["text_padded"])),
+                torch.from_numpy(np.asarray(
+                    batch["target_vec"][:, :cfg.data.n_seed_frames])),
+                torch.from_numpy(np.asarray(vids)))
+        return jnp.asarray(out.numpy())
+
+    def eval_epoch(epoch):
+        model.train(False)           # Evaluate.py:145
+        batches = (C.device_batch(b, cfg)
+                   for b in val_ds.batches(bs, shuffle=False,
+                                           drop_last=False))
+        r = evaluate_testset(batches, torch_gen, evaluator, epoch, cfg,
+                             n_speakers, jax.random.PRNGKey(1234 + epoch))
+        model.train(True)            # Evaluate.py:290
+        return r
+
+    trajectory = []
+    n_steps = 0
+    t0 = time.perf_counter()
+    for epoch in range(args.epochs):
+        for hb in train_ds.batches(bs, shuffle=True,
+                                   seed=args.seed + epoch):
+            db = C.device_batch(hb, cfg)
+            train_llm(ref_args, epoch,
+                      torch.from_numpy(np.asarray(db["in_audio"])),
+                      torch.from_numpy(np.asarray(db["log_mel"])),
+                      torch.from_numpy(np.asarray(db["text_padded"])),
+                      torch.from_numpy(np.asarray(db["target_vec"])),
+                      torch.from_numpy(np.asarray(db["vid_indices"])),
+                      model, discriminator, g_opt, d_opt, acc)
+            n_steps += 1
+        r = eval_epoch(epoch)
+        trajectory.append({"epoch": epoch, "fgd": r.frechet_dist,
+                           "loss": r.loss, "diversity": r.diversity})
+        print(f"[reference torch] epoch {epoch + 1}: FGD "
+              f"{r.frechet_dist:.1f} loss {r.loss:.3f}")
+    elapsed = time.perf_counter() - t0
+    return {"impl": "reference-torch-cpu", "trajectory": trajectory,
+            "steps_per_sec": round(n_steps / elapsed, 4)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(__doc__)
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--videos", type=int, default=3)
+    p.add_argument("--seconds", type=float, default=25.0)
+    p.add_argument("--seed", type=int, default=2021)
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--skip-reference", action="store_true")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "REFERENCE_AB.json"))
+    args = p.parse_args(argv)
+
+    import tempfile
+    from hop_tpu.config import ted_config
+    workdir = args.workdir or tempfile.mkdtemp(prefix="hop_ab_")
+    os.makedirs(workdir, exist_ok=True)
+
+    cfg = ted_config()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, batch_size=args.batch_size,
+                                  epochs=args.epochs),
+        llm=dataclasses.replace(cfg.llm, compute_bf16=False))
+
+    print(f"[1/4] fixture + import ({args.videos} videos)")
+    rec = build_fixture(workdir, cfg, args.videos, args.seconds, args.seed)
+    print("[2/4] train + export the FGD feature net")
+    eval_net = train_eval_net(rec, workdir, args.batch_size, args.seed)
+    print("[3/4] train OURS (parity step)")
+    ours = run_ours(cfg, rec, eval_net, args)
+    ours["impl"] = "hop_tpu-parity"
+    results = [ours]
+    if not args.skip_reference:
+        print("[4/4] train the REFERENCE's torch code (CPU)")
+        results.append(run_reference(cfg, rec, eval_net, args))
+
+    payload = {"metric": "reference_quality_ab",
+               "epochs": args.epochs, "batch_size": args.batch_size,
+               "fixture": {"videos": args.videos,
+                           "clip_seconds": args.seconds},
+               "eval_net": "shared, trained gesture_autoencoder",
+               "runs": results}
+    print(json.dumps(payload))
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

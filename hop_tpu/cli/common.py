@@ -60,6 +60,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "when >1 device, 1 = off)")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tensor-parallel degree for the frozen LLM kernels")
+    p.add_argument("--no-zero2", action="store_true",
+                   help="keep optimizer moments replicated instead of the "
+                        "default ZeRO-2-style sharding over the data axis "
+                        "(the reference always trains under DeepSpeed "
+                        "ZeRO-2, run_ted.py:110-112)")
     p.add_argument("--synthetic-videos", type=int, default=3)
     p.add_argument("--wordembed-path", default=None,
                    help="pretrained word vectors for the text encoders: a "

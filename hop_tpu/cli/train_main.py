@@ -320,8 +320,12 @@ def train_main(cfg: Config, args) -> float:
     if n_dp * n_mp > 1:
         from hop_tpu.parallel import create_mesh, shard_state, shard_batch
         mesh = create_mesh(n_dp, n_mp)
-        print(f"mesh: data={n_dp} x model={n_mp}")
-        state = shard_state(state, mesh)
+        # ZeRO-2 analog on by default, like the reference's DeepSpeed
+        # plugin (run_ted.py:110-112): Adam moments sharded over 'data'
+        zero2 = not getattr(args, "no_zero2", False) and n_dp > 1
+        print(f"mesh: data={n_dp} x model={n_mp}"
+              + (" (zero2 opt-state sharding)" if zero2 else ""))
+        state = shard_state(state, mesh, zero2=zero2)
         mesh_ctx = mesh
         inner_batches = train_batches
 

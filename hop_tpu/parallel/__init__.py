@@ -1,4 +1,5 @@
 """jax.sharding mesh utilities: data/tensor-parallel placement."""
 
 from hop_tpu.parallel.mesh import (  # noqa: F401
-    create_mesh, batch_sharding, state_shardings, shard_batch, shard_state)
+    create_mesh, batch_sharding, state_shardings, shard_batch,
+    shard_state, shard_opt_state, zero2_spec)

@@ -68,14 +68,49 @@ def state_shardings(state: Any, mesh: Mesh) -> Any:
         is_leaf=lambda x: isinstance(x, flax_meta.Partitioned))
 
 
-def shard_state(state: Any, mesh: Mesh) -> Any:
-    """Place a state tree on the mesh per its annotations."""
+def zero2_spec(shape, n_data: int) -> P:
+    """PartitionSpec sharding the first 'data'-divisible axis of an
+    optimizer-moment tensor (ZeRO-2: each data rank owns 1/N of the Adam
+    mu/nu state; the reference configures exactly this through its
+    DeepSpeed ZeRO-2 plugin, run_ted.py:110-112)."""
+    for ax, d in enumerate(shape):
+        if d >= n_data and d % n_data == 0:
+            return P(*([None] * ax), "data")
+    return P()
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh) -> Any:
+    """Place optimizer state with moments sharded over the 'data' axis."""
+    n_data = mesh.shape["data"]
+
+    def place(leaf):
+        import numpy as _np
+        shape = _np.shape(leaf)
+        return jax.device_put(
+            leaf, NamedSharding(mesh, zero2_spec(shape, n_data)))
+
+    return jax.tree_util.tree_map(place, opt_state)
+
+
+def shard_state(state: Any, mesh: Mesh, zero2: bool = False) -> Any:
+    """Place a state tree on the mesh per its annotations.
+
+    zero2=True additionally shards the optimizer moments over the 'data'
+    axis (the ZeRO-2 analog): parameters stay replicated, gradients are
+    all-reduced by XLA as usual, and each data rank stores + updates a
+    1/N slice of the Adam state; XLA inserts the update all-gather."""
     def place(leaf):
         if isinstance(leaf, flax_meta.Partitioned):
             sh = NamedSharding(mesh, P(*leaf.names))
             return leaf.replace_boxed(jax.device_put(leaf.unbox(), sh))
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
-    return jax.tree_util.tree_map(
+    placed = jax.tree_util.tree_map(
         place, state,
         is_leaf=lambda x: isinstance(x, flax_meta.Partitioned))
+    if zero2 and mesh.shape["data"] > 1:
+        for field in ("opt_state", "gen_opt_state", "dis_opt_state"):
+            if hasattr(placed, field):
+                placed = placed.replace(**{
+                    field: shard_opt_state(getattr(placed, field), mesh)})
+    return placed

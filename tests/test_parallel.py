@@ -106,3 +106,48 @@ def test_state_shardings_structure():
     leaf = jax.tree_util.tree_leaves(sh)[0]
     assert leaf.spec == P()
     assert batch_sharding(mesh).spec == P("data")
+
+
+@pytest.mark.slow
+def test_zero2_opt_state_sharding_matches_single_device():
+    """ZeRO-2 analog (SURVEY §2.7; the reference's DeepSpeed plugin,
+    run_ted.py:110-112): Adam moments sharded over the data axis. The
+    update must equal the replicated-state update, and the moments must
+    actually live sharded (1/N bytes per device)."""
+    cfg, b, warmup, gan, init_state, gen_vars, dis_vars = _setup()
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    state1 = init_state(copy(gen_vars), copy(dis_vars))
+    state1, m1 = warmup(state1, b, jax.random.PRNGKey(7))
+
+    mesh = create_mesh(8, 1)
+    state2 = init_state(copy(gen_vars), copy(dis_vars))
+    with mesh:
+        state2 = shard_state(state2, mesh, zero2=True)
+        # the placed moments are sharded over 'data'
+        from hop_tpu.parallel import zero2_spec
+        n_sharded = 0
+        for leaf in jax.tree_util.tree_leaves(state2.gen_opt_state):
+            spec = leaf.sharding.spec
+            assert spec == zero2_spec(leaf.shape, 8)
+            n_sharded += int(any(s == "data" for s in spec))
+        assert n_sharded > 10  # real coverage, not a no-op
+        sb = shard_batch(b, mesh)
+        state2, m2 = warmup(state2, sb, jax.random.PRNGKey(7))
+        # and STAY sharded through the jitted update
+        mu_leaves = [leaf for leaf in
+                     jax.tree_util.tree_leaves(state2.gen_opt_state)
+                     if leaf.ndim >= 1 and any(
+                         s == "data" for s in (leaf.sharding.spec or ()))]
+        assert len(mu_leaves) > 10, "moments were re-replicated by XLA"
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves_with_path(state1.gen_params)
+    l2 = jax.tree_util.tree_leaves_with_path(state2.gen_params)
+    for (p1, a), (_, bb) in zip(l1, l2):
+        path = jax.tree_util.keystr(p1)
+        if "WavEncoder" in path and "bias" in path:
+            continue  # zero-grad leaves: see comment in the test above
+        diff = np.abs(np.asarray(a) - np.asarray(bb))
+        assert diff.mean() < 1e-6, (path, diff.mean())
