@@ -12,7 +12,10 @@ trajectory of each plus measured steps/s.
 
 Usage:
   python benchmarks/compare_fused_step.py --data PATH --epochs 6 \
-      [--eval-net evalnet.npz] [--batch-size 32]
+      [--eval-net evalnet.npz] [--batch-size 32] [--seeds 3]
+
+--seeds N runs both variants from N different seeds (multi-seed evidence
+for the fused-vs-parity quality question instead of a single trajectory).
 """
 
 from __future__ import annotations
@@ -76,6 +79,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--eval-net", default=None)
     p.add_argument("--seed", type=int, default=2021)
+    p.add_argument("--seeds", type=int, default=1,
+                   help="number of seeds per variant (seed, seed+1, ...)")
+    p.add_argument("--out", default=None,
+                   help="also write the JSON payload to this path")
     args = p.parse_args(argv)
 
     from hop_tpu.config import ted_config
@@ -85,9 +92,22 @@ def main(argv=None):
     # exercise the GAN phase from epoch 2 so the comparison covers it
     cfg = cfg.replace(loss=dataclasses.replace(cfg.loss, warmup_epochs=1))
 
-    results = [run_variant(cfg, args, fused=False),
-               run_variant(cfg, args, fused=True)]
-    print(json.dumps({"metric": "hop_fused_vs_parity", "runs": results}))
+    results = []
+    for s in range(args.seeds):
+        for fused in (False, True):
+            a = argparse.Namespace(**vars(args))
+            a.seed = args.seed + s
+            r = run_variant(cfg, a, fused=fused)
+            r["seed"] = a.seed
+            results.append(r)
+            print(f"seed {a.seed} fused={fused}: "
+                  f"min FGD {min(t['fgd'] for t in r['trajectory']):.1f} "
+                  f"final {r['trajectory'][-1]['fgd']:.1f}")
+    payload = {"metric": "hop_fused_vs_parity", "runs": results}
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
     return 0
 
 

@@ -139,3 +139,64 @@ def convert_conv_discriminator(sd: Dict, prefix: str = "") -> dict:
     params["Dense_0"] = _lin(sd, f"{prefix}out")
     params["Dense_1"] = _lin(sd, f"{prefix}out2")
     return {"params": params, "batch_stats": stats}
+
+
+def _conv2d(sd: Dict, name: str) -> dict:
+    """torch Conv2d (out, in, kh, kw) -> flax Conv (kh, kw, in, out)."""
+    out = {"kernel": np.array(sd[name + ".weight"]).transpose(2, 3, 1, 0)}
+    if name + ".bias" in sd:
+        out["bias"] = np.array(sd[name + ".bias"])
+    return out
+
+
+def _bn_wrap(sd: Dict, name: str):
+    """torch BN -> our common.BatchNorm wrapper ({'BatchNorm_0': ...})."""
+    p, s = _bn(sd, name)
+    return {"BatchNorm_0": p}, {"BatchNorm_0": s}
+
+
+def convert_se_block(sd: Dict, prefix: str, downsample: bool):
+    """ResNetBlocks.SEBasicBlock (:7-37) -> models/resnet_se.SEBasicBlock."""
+    params, stats = {}, {}
+    params["Conv_0"] = _conv2d(sd, prefix + "conv1")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn_wrap(sd, prefix + "bn1")
+    params["Conv_1"] = _conv2d(sd, prefix + "conv2")
+    params["BatchNorm_1"], stats["BatchNorm_1"] = _bn_wrap(sd, prefix + "bn2")
+    params["SELayer_0"] = {"Dense_0": _lin(sd, prefix + "se.fc.0"),
+                           "Dense_1": _lin(sd, prefix + "se.fc.2")}
+    if downsample:
+        params["Conv_2"] = _conv2d(sd, prefix + "downsample.0")
+        params["BatchNorm_2"], stats["BatchNorm_2"] = _bn_wrap(
+            sd, prefix + "downsample.1")
+    return params, stats
+
+
+def convert_resnet_se(sd: Dict, prefix: str = "",
+                      layers=(3, 4, 6, 3)) -> dict:
+    """ResNetSE34V2.ResNetSE (:13-219) -> models/resnet_se.ResNetSE
+    variables. prefix e.g. 'audio_encoder.feat_extractor.' inside a
+    hierarchy checkpoint (hierarchy_net.py:10-17)."""
+    params, stats = {}, {}
+    params["conv1"] = _conv2d(sd, prefix + "conv1")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn_wrap(sd, prefix + "bn1")
+    for k, n_blocks in enumerate(layers, start=1):
+        for i in range(n_blocks):
+            # layer1 keeps width at stride 1 -> no downsample anywhere;
+            # layers 2-4 downsample in their first block (ResNetSE34V2
+            # _make_layer, :98-111)
+            ds = (k > 1 and i == 0)
+            p, s = convert_se_block(sd, f"{prefix}layer{k}.{i}.", ds)
+            params[f"layer{k}_{i}"] = p
+            stats[f"layer{k}_{i}"] = s
+    for j, lvl in enumerate(("low", "mid", "high"), start=1):
+        params[f"conv_{lvl}"] = _conv2d(sd, f"{prefix}conv_{lvl}")
+        params[f"BatchNorm_{j}"], stats[f"BatchNorm_{j}"] = _bn_wrap(
+            sd, f"{prefix}bn_{lvl}")
+        params[f"fc_{lvl}"] = _lin(sd, f"{prefix}fc_{lvl}")
+    if prefix + "speaker_embedding.0.weight" in sd:
+        params["speaker_embed"] = {
+            "embedding": np.array(sd[prefix + "speaker_embedding.0.weight"])}
+        params["speaker_proj"] = _lin(sd, prefix + "speaker_embedding.1")
+        params["fc1"] = _lin(sd, prefix + "fc1")
+        params["fc2"] = _lin(sd, prefix + "fc2")
+    return {"params": params, "batch_stats": stats}

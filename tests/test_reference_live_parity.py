@@ -451,3 +451,108 @@ def test_train_llm_gan_step_parity(ref, monkeypatch, llm_layers):
                          model_t, dis_t, g_opt, d_opt, acc)
     state, metrics2 = gan_step(state, batch, jax.random.PRNGKey(1))
     _assert_metrics_match(metrics2, ret2, rel=0.25)
+
+
+# ---------------------------------------------------------------------------
+# hierarchy (HA2G) stack vs live reference modules
+# ---------------------------------------------------------------------------
+
+def test_resnet_se_forward_parity_live(ref):
+    """ResNetSE34V2.ResNetSE (:13-219) with SEBasicBlocks vs our ResNetSE:
+    multi-scale taps, pixel-shuffle upsampling, speaker-blend weights."""
+    torch = ref.torch
+    import importlib
+    rse_mod = importlib.import_module("model.ResNetSE34V2")
+    blocks_mod = importlib.import_module("model.ResNetBlocks")
+    from hop_tpu.eval.torch_import_generator import convert_resnet_se
+    from hop_tpu.models.resnet_se import ResNetSE
+    from hop_tpu import geometry
+
+    torch.manual_seed(6)
+    spk = ref.vocab.Vocab("spk")
+    for i in range(N_SPEAKERS - spk.n_words):
+        spk.index_word(f"s{i}")
+    net_t = rse_mod.ResNetSE(
+        argparse.Namespace(), blocks_mod.SEBasicBlock, [3, 4, 6, 3],
+        [32, 64, 128, 256], nOut=32, z_obj=spk, pose_level=3,
+        n_mels=128).float()
+    net_t.eval()
+
+    T = geometry.calc_spectrogram_length_from_motion_length(34, 15)
+    B = 2
+    spec = np.random.default_rng(8).standard_normal(
+        (B, 128, T)).astype(np.float32)
+    vids = (np.arange(B) % N_SPEAKERS).astype(np.int64)
+    with torch.no_grad():
+        w_t, lo_t, mi_t, hi_t, blends_t = net_t(
+            torch.from_numpy(spec).unsqueeze(1), torch.from_numpy(vids))
+
+    net_j = ResNetSE(n_speakers=N_SPEAKERS, pose_level=3)
+    variables = convert_resnet_se(net_t.state_dict())
+    w_j, lo_j, mi_j, hi_j, blends_j = net_j.apply(
+        variables, jnp.asarray(spec), jnp.asarray(vids), train=False)
+
+    np.testing.assert_allclose(np.asarray(w_j), w_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    for ours, theirs, name in ((lo_j, lo_t, "low"), (mi_j, mi_t, "mid"),
+                               (hi_j, hi_t, "high")):
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy(), rtol=1e-3, atol=2e-4,
+            err_msg=f"feat_{name}")
+    for i, (bj, bt) in enumerate(zip(blends_j, blends_t)):
+        np.testing.assert_allclose(np.asarray(bj), bt.numpy(),
+                                   rtol=1e-3, atol=2e-4,
+                                   err_msg=f"blend level {i}")
+
+
+def test_hierarchical_generator_forward_parity_live(ref, monkeypatch):
+    """hierarchy_net.Hierarchical_PoseGenerator (:55-149) vs our
+    HierarchicalPoseGenerator — incl. the keyword LeakyReLU(inplace=True)
+    whose slope REALLY is 0.01 here (vs the trimodal generator's
+    positional LeakyReLU(True) == identity)."""
+    torch = ref.torch
+    _patch_gaussians(monkeypatch, torch)
+    import importlib
+    hn = importlib.import_module("model.hierarchy_net")
+    from hop_tpu.eval.torch_import_generator import (
+        convert_hierarchical_generator)
+    from hop_tpu.models.hierarchy import HierarchicalPoseGenerator
+
+    torch.manual_seed(9)
+    spk = ref.vocab.Vocab("spk")
+    for i in range(N_SPEAKERS - spk.n_words):
+        spk.index_word(f"s{i}")
+    args = argparse.Namespace(n_pre_poses=4, n_poses=34,
+                              input_context="both", hidden_size=300,
+                              n_layers=4, dropout_prob=0.3,
+                              freeze_wordembed=False)
+    n_words, pose_dim = 50, 30
+    gen_t = hn.Hierarchical_PoseGenerator(
+        args, pose_dim=pose_dim, n_words=n_words, word_embed_size=300,
+        word_embeddings=None, z_obj=spk).float()
+    gen_t.eval()
+
+    r = np.random.default_rng(10)
+    B = 2
+    pre_seq = (r.standard_normal((B, 34, pose_dim + 1)) * 0.1
+               ).astype(np.float32)
+    in_text = r.integers(0, n_words, (B, 34)).astype(np.int64)
+    audio_feat = r.standard_normal((B, 34, 32)).astype(np.float32)
+    vids = (np.arange(B) % N_SPEAKERS).astype(np.int64)
+    with torch.no_grad():
+        out_t, z_t, mu_t, _ = gen_t(
+            torch.from_numpy(pre_seq), torch.from_numpy(in_text),
+            torch.from_numpy(audio_feat), torch.from_numpy(vids))
+
+    gen_j = HierarchicalPoseGenerator(pose_dim=pose_dim, n_words=n_words,
+                                      n_speakers=N_SPEAKERS)
+    variables = convert_hierarchical_generator(gen_t.state_dict())
+    out_j, z_j, mu_j, _ = gen_j.apply(
+        variables, jnp.asarray(pre_seq), jnp.asarray(in_text),
+        jnp.asarray(audio_feat), jnp.asarray(vids),
+        rng=jax.random.PRNGKey(0), train=False)
+
+    np.testing.assert_allclose(np.asarray(z_j), z_t.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=1e-3, atol=2e-4)
