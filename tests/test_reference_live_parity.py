@@ -556,3 +556,31 @@ def test_hierarchical_generator_forward_parity_live(ref, monkeypatch):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
                                rtol=1e-3, atol=2e-4)
+
+
+def test_trainable_param_count_matches_live_reference(ref):
+    """Our HOP carries exactly the reference's trainable parameters minus
+    its two DEAD blocks: the always-built WavEncoder that the gwnet path
+    never calls (HOP.py:93 vs :209-231) and gwnet's residual_convs that
+    the gcn_bool=True path never uses. (run_ted.py:335's '41,035,635'
+    comment does not match the reference's own code under its defaults —
+    the measured count is 65,746,860.)"""
+    torch = ref.torch
+    model_t = _build_torch_hop(ref, llm_layers=2)
+    torch_trainable = sum(p.numel() for p in model_t.parameters()
+                          if p.requires_grad)
+    dead = (sum(p.numel() for p in model_t.audio_encoder.parameters())
+            + sum(p.numel() for p in model_t.gwnet.residual_convs.parameters()))
+
+    cfg = _our_cfg(2)
+    model_j = HOPModel(cfg, n_speakers=N_SPEAKERS)
+    shapes = jax.eval_shape(lambda: model_j.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 36267)), jnp.zeros((1, 34, 128)),
+        jnp.zeros((1, 34), jnp.int32), jnp.zeros((1, 16, 27)),
+        jnp.zeros((1,), jnp.int32), rng=jax.random.PRNGKey(2), train=False))
+    ours = sum(int(np.prod(l.shape)) for k, sub in shapes["params"].items()
+               if k != "llm"
+               for l in jax.tree_util.tree_leaves(sub))
+    assert ours + dead == torch_trainable
+    assert dead == 69728 + 33280
