@@ -584,3 +584,79 @@ def test_trainable_param_count_matches_live_reference(ref):
                for l in jax.tree_util.tree_leaves(sub))
     assert ours + dead == torch_trainable
     assert dead == 69728 + 33280
+
+
+def test_train_iter_gan_step_parity(ref, monkeypatch):
+    """train_eval/train_gan.py:13-103 (trimodal GAN step: pre-seq build,
+    use_noisy_target=False D phase, G losses) vs train/gan.py — loss
+    values of a full GAN-phase step from the reference's own code."""
+    torch = ref.torch
+    _patch_gaussians(monkeypatch, torch)
+    _patch_permutations(monkeypatch, torch)
+    _patch_flax_dropout(monkeypatch)
+    from train_eval.train_gan import train_iter_gan
+    from hop_tpu.train.gan import make_gan_train_steps
+
+    cfg = _our_cfg(2)
+    torch.manual_seed(3)
+    spk = ref.vocab.Vocab("spk")
+    for i in range(N_SPEAKERS - spk.n_words):
+        spk.index_word(f"s{i}")
+    targs = argparse.Namespace(n_pre_poses=4, n_poses=34,
+                               input_context="both", hidden_size=300,
+                               n_layers=4, dropout_prob=0.3,
+                               freeze_wordembed=False, loss_warmup=10,
+                               z_type="speaker",
+                               loss_regression_weight=600.0,
+                               loss_gan_weight=5.0, loss_kld_weight=0.6,
+                               loss_reg_weight=0.4)
+    n_words = 50
+    gen_t = ref.mcn.PoseGenerator(targs, pose_dim=27, n_words=n_words,
+                                  word_embed_size=300, word_embeddings=None,
+                                  z_obj=spk).float()
+    dis_t = ref.mcn.ConvDiscriminator(27).float()
+    gen_t.train(), dis_t.train()
+    _zero_dropout(torch, gen_t, dis_t)
+    g_opt = torch.optim.Adam(gen_t.parameters(),
+                             lr=cfg.train.learning_rate,
+                             betas=cfg.train.betas)
+    d_opt = torch.optim.Adam(
+        dis_t.parameters(),
+        lr=cfg.train.learning_rate * cfg.train.dis_lr_scale,
+        betas=cfg.train.betas)
+
+    gen_j = PoseGenerator(pose_dim=27, n_words=n_words,
+                          n_speakers=N_SPEAKERS)
+    dis_j = ConvDiscriminator()
+    warmup_step, gan_step, init_state = make_gan_train_steps(
+        cfg, gen_j, dis_j)
+    state = init_state(convert_pose_generator(gen_t.state_dict()),
+                       convert_conv_discriminator(dis_t.state_dict()))
+
+    r = np.random.default_rng(13)
+    B = 4
+    target = (r.standard_normal((B, 34, 27)) * 0.1).astype(np.float32)
+    in_text = r.integers(0, n_words, (B, 34)).astype(np.int64)
+    in_audio = r.standard_normal((B, 36267)).astype(np.float32)
+    vids = (np.arange(B) % N_SPEAKERS).astype(np.int64)
+    batch = {"target_vec": jnp.asarray(target),
+             "text_padded": jnp.asarray(in_text),
+             "in_audio": jnp.asarray(in_audio),
+             "vid_indices": jnp.asarray(vids)}
+
+    for epoch, step in ((5, warmup_step), (12, gan_step)):
+        ret = train_iter_gan(targs, epoch, torch.from_numpy(in_text),
+                             torch.from_numpy(in_audio),
+                             torch.from_numpy(target),
+                             torch.from_numpy(vids),
+                             gen_t, dis_t, g_opt, d_opt)
+        state, metrics = gan_step(state, batch, jax.random.PRNGKey(epoch)) \
+            if epoch > 10 else warmup_step(state, batch,
+                                           jax.random.PRNGKey(epoch))
+        want_keys = {"loss", "KLD", "DIV_REG"}
+        if epoch > 10:
+            want_keys |= {"gen", "dis"}
+        assert set(ret) == want_keys
+        # step 2 runs through both frameworks' Adam updates of step 1 —
+        # looser for the same reasons as the HOP tests
+        _assert_metrics_match(metrics, ret, rel=2e-3 if epoch == 5 else 0.1)
