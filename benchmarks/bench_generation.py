@@ -12,6 +12,12 @@ Usage: python benchmarks/bench_generation.py [--batch-sizes 1 16 256]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time

@@ -20,6 +20,12 @@ for the fused-vs-parity quality question instead of a single trajectory).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import dataclasses
 import json
