@@ -78,8 +78,10 @@ def main():
                    choices=("both", "parity", "fused"),
                    help="parity = the reference's exact 3-forward D/G "
                         "structure; fused = the TPU-native batched "
-                        "two-speaker forward + joint update (43% faster, "
-                        "same FGD descent in benchmarks/compare_fused_step)")
+                        "two-speaker forward + joint update (43% faster; "
+                        "same FGD minima over 3 seeds x 20 epochs, "
+                        "benchmarks/FUSED_MULTISEED.json — the training "
+                        "default since round 3)")
     args = p.parse_args()
 
     if args.platform:

@@ -60,6 +60,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "when >1 device, 1 = off)")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tensor-parallel degree for the frozen LLM kernels")
+    p.add_argument("--parity-step", action="store_true",
+                   help="train HOP with the reference's exact 3-forward "
+                        "sequential D/G step instead of the default fused "
+                        "step (same quality across seeds, "
+                        "benchmarks/FUSED_MULTISEED.json; fused is ~40% "
+                        "faster)")
     p.add_argument("--no-zero2", action="store_true",
                    help="keep optimizer moments replicated instead of the "
                         "default ZeRO-2-style sharding over the data axis "
@@ -112,6 +118,9 @@ def apply_overrides(cfg: Config, args) -> Config:
     if getattr(args, "use_hf_token_stream", False):
         data = dataclasses.replace(data, use_hf_token_stream=True)
         cfg = cfg.replace(data=data)
+    if getattr(args, "parity_step", False):
+        cfg = cfg.replace(hop=dataclasses.replace(cfg.hop,
+                                                  fused_step=False))
     llm = cfg.llm
     if getattr(args, "llm_model", None) == "LLAMA":
         from hop_tpu.config import llama7b_llm_config

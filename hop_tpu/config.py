@@ -96,11 +96,14 @@ class HOPConfig:
     num_prototype_tokens: int = 1500     # mapping_layer out (HOP.py:115-116)
     use_gwnet: bool = True
     use_reprogramming: bool = True
-    # Fast step: share the speaker-independent trunk between the main and
-    # random-speaker forwards and update G/D from one joint backward
-    # (simultaneous-GAN semantics). Parity mode (False) keeps the
-    # reference's 3-forward sequential-update structure.
-    fused_step: bool = False
+    # Fast step (default): share the speaker-independent trunk between the
+    # main and random-speaker forwards and update G/D from one joint
+    # backward (simultaneous-GAN semantics). Parity mode (False) keeps the
+    # reference's 3-forward sequential-update structure; quality is
+    # indistinguishable across 3 seeds x 20 epochs on a trained eval net
+    # (benchmarks/FUSED_MULTISEED.json: parity minima 1182/1148/1153 vs
+    # fused 1144/1172/1174), so the ~40% faster fused step is the default.
+    fused_step: bool = True
     hidden_size: int = 350               # BiGRU hidden (HOP.py:125)
     gru_layers: int = 4
     z_size: int = 16

@@ -200,3 +200,79 @@ def convert_resnet_se(sd: Dict, prefix: str = "",
         params["fc1"] = _lin(sd, prefix + "fc1")
         params["fc2"] = _lin(sd, prefix + "fc2")
     return {"params": params, "batch_stats": stats}
+
+
+def convert_seq2seq(sd: Dict, n_layers: int = 4) -> dict:
+    """seq2seq_net.Seq2SeqNet (:217-254) -> models/seq2seq.Seq2SeqNet
+    variables. The decoder's pre_linear BatchNorm1d running stats are
+    dropped: our compiled decoder scan normalises by per-step batch
+    statistics (train-time equivalent; see models/seq2seq.py)."""
+    enc = {
+        "embedding": np.array(sd["encoder.embedding.weight"]),
+        "GRU_0": convert_gru(sd, "encoder.gru.", n_layers,
+                             bidirectional=True),
+    }
+    dec = {
+        "Attn_0": {"Dense_0": _lin(sd, "decoder.decoder.attn.attn"),
+                   "v": np.array(sd["decoder.decoder.attn.v"])},
+        "Dense_0": _lin(sd, "decoder.decoder.pre_linear.0"),
+        "bn_scale": np.array(sd["decoder.decoder.pre_linear.1.weight"]),
+        "bn_bias": np.array(sd["decoder.decoder.pre_linear.1.bias"]),
+        "Dense_1": _lin(sd, "decoder.decoder.out"),
+    }
+    for k in range(n_layers):
+        dec[f"cell_{k}"] = {
+            "w_ih": np.array(sd[f"decoder.decoder.gru.weight_ih_l{k}"]),
+            "w_hh": np.array(sd[f"decoder.decoder.gru.weight_hh_l{k}"]),
+            "b_ih": np.array(sd[f"decoder.decoder.gru.bias_ih_l{k}"]),
+            "b_hh": np.array(sd[f"decoder.decoder.gru.bias_hh_l{k}"]),
+        }
+    return {"params": {"EncoderRNN_0": enc, "_DecoderStep_0": dec}}
+
+
+def _cnr(sd: Dict, base: str):
+    """speech2gesture ConvNormRelu Sequential (conv, BN, LeakyReLU) ->
+    our ConvNormRelu module tree; 1d/2d told apart by kernel rank."""
+    w = np.asarray(sd[base + ".0.weight"])
+    conv = _conv2d(sd, base + ".0") if w.ndim == 4 else _conv(sd, base + ".0")
+    p, s = _bn(sd, base + ".1")
+    return ({"Conv_0": conv, "BatchNorm_0": {"BatchNorm_0": p}},
+            {"BatchNorm_0": {"BatchNorm_0": s}})
+
+
+def convert_s2g_generator(sd: Dict) -> dict:
+    """speech2gesture.Generator (:200-231) -> models/speech2gesture
+    .Generator variables (AudioEncoder U-Net incl. skip-path ups)."""
+    enc_p, enc_s = {}, {}
+    torch_bases = ([f"audio_encoder.first_net.{i}" for i in range(8)]
+                   + ["audio_encoder.down1.0", "audio_encoder.down1.1"]
+                   + [f"audio_encoder.down{i}" for i in range(2, 7)])
+    for j, base in enumerate(torch_bases):
+        enc_p[f"ConvNormRelu_{j}"], enc_s[f"ConvNormRelu_{j}"] = _cnr(sd, base)
+    for j in range(5):
+        p, s = _cnr(sd, f"audio_encoder.up{j + 1}.conv")
+        enc_p[f"UnetUp_{j}"] = {"ConvNormRelu_0": p}
+        enc_s[f"UnetUp_{j}"] = {"ConvNormRelu_0": s}
+
+    params = {"AudioEncoder_0": enc_p,
+              "Dense_0": _lin(sd, "pre_pose_encoder.0"),
+              "Dense_1": _lin(sd, "pre_pose_encoder.3"),
+              "Conv_0": _conv(sd, "final_out")}
+    stats = {"AudioEncoder_0": enc_s}
+    bp, bs = _bn(sd, "pre_pose_encoder.1")
+    params["BatchNorm_0"] = {"BatchNorm_0": bp}
+    stats["BatchNorm_0"] = {"BatchNorm_0": bs}
+    for j in range(4):
+        params[f"ConvNormRelu_{j}"], stats[f"ConvNormRelu_{j}"] = _cnr(
+            sd, f"decoder.{j}")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_s2g_discriminator(sd: Dict) -> dict:
+    """speech2gesture.Discriminator (:234-250) -> flax variables."""
+    params = {"Conv_0": _conv(sd, "net.0"), "Conv_1": _conv(sd, "net.4")}
+    stats = {}
+    for j, base in enumerate(("net.2", "net.3")):
+        params[f"ConvNormRelu_{j}"], stats[f"ConvNormRelu_{j}"] = _cnr(
+            sd, base)
+    return {"params": params, "batch_stats": stats}

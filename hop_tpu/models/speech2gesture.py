@@ -64,12 +64,22 @@ class AudioEncoder(nn.Module):
         x = ConvNormRelu(256, "2d", downsample=True)(x, train)
         x = ConvNormRelu(256, "2d")(x, train)
         x = ConvNormRelu(256, "2d", padding="VALID")(x, train)
-        # bilinear resize to (n_frames, 1), half-pixel == align_corners=False
+        # bilinear resize to (n_frames, 1), half-pixel == align_corners=
+        # False; antialias=False matches torch Upsample, which does NOT
+        # low-pass when downscaling the frequency axis to 1
+        # (jax.image.resize antialiases by default — that diverges ~2%)
         x = jax.image.resize(
-            x, (x.shape[0], self.n_frames, 1, x.shape[3]), method="linear")
+            x, (x.shape[0], self.n_frames, 1, x.shape[3]), method="linear",
+            antialias=False)
         x1 = x[:, :, 0, :]                              # (B, n_frames, 256)
 
-        x2 = ConvNormRelu(256)(ConvNormRelu(256)(x1, train), train)
+        # two statements, not nested: flax names submodules in
+        # CONSTRUCTION order and Python builds the outer callee before
+        # its argument, so nesting would name the second-applied conv
+        # ConvNormRelu_8 and the first-applied one _9 (swapped weights
+        # under the torch importer)
+        x2 = ConvNormRelu(256)(x1, train)
+        x2 = ConvNormRelu(256)(x2, train)
         x3 = ConvNormRelu(256, downsample=True)(x2, train)
         x4 = ConvNormRelu(256, downsample=True)(x3, train)
         x5 = ConvNormRelu(256, downsample=True)(x4, train)

@@ -2,8 +2,14 @@
 (reference train_eval/train_speech2gesture.py:5-37).
 
 D: MSE(1, D(target motion)) + MSE(0, D(fake motion)); G: 600*L1 + 5*MSE(1,
-D(fake motion)). "Motion" is the frame-difference signal; the discriminator
-computes it internally here (it is part of its forward in both codebases).
+D(fake motion)).
+
+Quirk reproduced deliberately: the reference DIFFS TWICE — the train step
+passes first differences ("motion", train_speech2gesture.py:12-14) into a
+discriminator whose forward diffs its input again (speech2gesture.py:247),
+so D actually scores second-order differences over 32 frames. We pass the
+precomputed motion into the discriminator exactly like the reference
+(pinned against their live code in tests/test_reference_live_parity.py).
 """
 
 from __future__ import annotations
@@ -40,16 +46,21 @@ def make_s2g_train_step(cfg: Config, generator, discriminator):
             mutable=["batch_stats"])
         return score, upd["batch_stats"]
 
+    def motion(poses):
+        # first differences; the discriminator diffs AGAIN internally
+        # (the reference's double-diff, see module docstring)
+        return poses[:, 1:] - poses[:, :-1]
+
     def dis_loss(dis_params, dis_stats, fake, target):
-        dr, dis_stats = dis_apply(dis_params, dis_stats, target)
-        df, dis_stats = dis_apply(dis_params, dis_stats, fake)
+        dr, dis_stats = dis_apply(dis_params, dis_stats, motion(target))
+        df, dis_stats = dis_apply(dis_params, dis_stats, motion(fake))
         err = jnp.mean((1.0 - dr) ** 2) + jnp.mean(df ** 2)
         return err, dis_stats
 
     def gen_loss(gen_params, gen_stats, dis_params, dis_stats, batch):
         out, gen_stats = gen_apply(gen_params, gen_stats, batch)
         l1 = jnp.mean(jnp.abs(out - batch["target_vec"]))
-        score, dis_stats = dis_apply(dis_params, dis_stats, out)
+        score, dis_stats = dis_apply(dis_params, dis_stats, motion(out))
         gen_err = jnp.mean((1.0 - score) ** 2)
         loss = (cfg.loss.regression_weight * l1
                 + cfg.loss.gan_weight * gen_err)

@@ -116,8 +116,12 @@ def _build_torch_hop(ref, llm_layers, seed=0):
 
 def _our_cfg(llm_layers):
     cfg = ted_config()
-    return cfg.replace(llm=dataclasses.replace(
-        cfg.llm, n_layers=llm_layers, compute_bf16=False))
+    # parity mode: these tests pin the reference's exact 3-forward
+    # sequential step, not the fused production default
+    return cfg.replace(
+        llm=dataclasses.replace(cfg.llm, n_layers=llm_layers,
+                                compute_bf16=False),
+        hop=dataclasses.replace(cfg.hop, fused_step=False))
 
 
 def _zero_dropout(torch, *modules):
@@ -660,3 +664,166 @@ def test_train_iter_gan_step_parity(ref, monkeypatch):
         # step 2 runs through both frameworks' Adam updates of step 1 —
         # looser for the same reasons as the HOP tests
         _assert_metrics_match(metrics, ret, rel=2e-3 if epoch == 5 else 0.1)
+
+
+def test_train_iter_embed_step_parity(ref, monkeypatch):
+    """train_eval/train_joint_embed.py:5-52 (gesture_autoencoder mode:
+    recon L1 per-sample mean summed over batch, no KLD) driven by the
+    reference's own EmbeddingNet(mode='pose') vs train/embed.py."""
+    torch = ref.torch
+    _patch_flax_dropout(monkeypatch)
+    import importlib
+    en = importlib.import_module("model.embedding_net")
+    from train_eval.train_joint_embed import train_iter_embed
+    from hop_tpu.eval.torch_import import convert_embedding_net_pose
+    from hop_tpu.models.embedding_net import EmbeddingNet
+    from hop_tpu.train.embed import make_embed_train_step
+
+    cfg = _our_cfg(2)
+    torch.manual_seed(15)
+    net_t = en.EmbeddingNet(argparse.Namespace(), pose_dim=27, n_frames=34,
+                            n_words=50, word_embed_size=300,
+                            word_embeddings=None, mode="pose").float()
+    net_t.train()
+    _zero_dropout(torch, net_t)
+    opt_t = torch.optim.Adam(net_t.parameters(),
+                             lr=cfg.train.learning_rate,
+                             betas=cfg.train.betas)
+    targs = argparse.Namespace(n_pre_poses=4, loss_regression_weight=600.0,
+                               loss_kld_weight=0.6)
+
+    net_j = EmbeddingNet(pose_dim=27, n_frames=34, n_words=50, mode="pose")
+    step, init_state = make_embed_train_step(cfg, net_j, mode="pose")
+    state = init_state(convert_embedding_net_pose(net_t.state_dict()))
+
+    r = np.random.default_rng(16)
+    target = (r.standard_normal((4, 34, 27)) * 0.1).astype(np.float32)
+    batch = {"target_vec": jnp.asarray(target)}
+    tt = torch.from_numpy(target)
+
+    for i, rel in ((0, 1e-4), (1, 1e-3)):
+        ret = train_iter_embed(targs, 5, None, None, tt, net_t, opt_t,
+                               mode="pose")
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert float(metrics["loss"]) == pytest.approx(ret["loss"], rel=rel)
+
+
+def test_train_iter_seq2seq_step_parity(ref, monkeypatch):
+    """train_eval/train_seq2seq.py:6-51 (custom loss: 600*MSE +
+    continuity - variance, grad clip 5) driven by the reference's own
+    Seq2SeqNet vs train/seq2seq.py. Full-length sequences so torch's
+    packed-sequence encoder equals our masked one."""
+    torch = ref.torch
+    _patch_flax_dropout(monkeypatch)
+    import importlib
+    sn = importlib.import_module("model.seq2seq_net")
+    from train_eval.train_seq2seq import train_iter_seq2seq
+    from hop_tpu.eval.torch_import_generator import convert_seq2seq
+    from hop_tpu.models.seq2seq import Seq2SeqNet
+    from hop_tpu.train.seq2seq import make_seq2seq_train_step
+
+    cfg = _our_cfg(2)
+    torch.manual_seed(21)
+    targs = argparse.Namespace(hidden_size=200, n_layers=4,
+                               dropout_prob=0.3, n_pre_poses=4,
+                               GAN_noise_size=0,
+                               loss_regression_weight=600.0,
+                               loss_kld_weight=0.6, loss_reg_weight=0.4)
+    n_words, T = 50, 12
+    net_t = sn.Seq2SeqNet(targs, pose_dim=27, n_frames=34, n_words=n_words,
+                          word_embed_size=300, word_embeddings=None).float()
+    net_t.train()
+    _zero_dropout(torch, net_t)
+    opt_t = torch.optim.Adam(net_t.parameters(),
+                             lr=cfg.train.learning_rate,
+                             betas=cfg.train.betas)
+
+    net_j = Seq2SeqNet(pose_dim=27, n_frames=34, n_pre_poses=4,
+                       n_words=n_words, embed_size=300, hidden_size=200,
+                       n_layers=4, dropout=0.3)
+    step, init_state = make_seq2seq_train_step(cfg, net_j)
+    state = init_state(convert_seq2seq(net_t.state_dict()))
+
+    r = np.random.default_rng(22)
+    B = 4
+    text = r.integers(1, n_words, (B, T)).astype(np.int64)
+    target = (r.standard_normal((B, 34, 27)) * 0.1).astype(np.float32)
+    batch = {"word_seq": jnp.asarray(text),
+             "text_mask": jnp.ones((B, T), jnp.float32),
+             "target_vec": jnp.asarray(target)}
+
+    for i, rel in ((0, 1e-3), (1, 5e-3)):
+        ret = train_iter_seq2seq(
+            targs, 5, torch.from_numpy(text).transpose(0, 1).transpose(0, 1),
+            [T] * B, torch.from_numpy(target), net_t, opt_t)
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert float(metrics["loss"]) == pytest.approx(ret["loss"], rel=rel)
+
+
+def test_train_iter_speech2gesture_step_parity(ref, monkeypatch):
+    """train_eval/train_speech2gesture.py:5-37 (LS-GAN on motion
+    differences) driven by the reference's own Generator/Discriminator
+    (TF-SAME conv shims, bilinear make_1d, U-Net skips) vs
+    train/speech2gesture.py."""
+    torch = ref.torch
+    import importlib
+    s2g = importlib.import_module("model.speech2gesture")
+    from train_eval.train_speech2gesture import train_iter_speech2gesture
+    from hop_tpu.eval.torch_import_generator import (convert_s2g_generator,
+                                                     convert_s2g_discriminator)
+    from hop_tpu.models import speech2gesture as s2g_j
+    from hop_tpu.train.speech2gesture import make_s2g_train_step
+
+    # the reference pins torch 1.13; the installed torch 2.x validates
+    # padding strings in the Conv constructor, which the shims pass
+    # through ('SAME'/'VALID') but never use — their forward computes its
+    # own padding. Construct with padding=0 and restore the string.
+    def _tf_init(base):
+        def init(self, *args, **kwargs):
+            pad = kwargs.get("padding", "SAME")
+            kw = dict(kwargs)
+            kw["padding"] = 0
+            base.__init__(self, *args, **kw)
+            self.padding = pad
+        return init
+
+    monkeypatch.setattr(s2g.Conv1d_tf, "__init__",
+                        _tf_init(torch.nn.Conv1d))
+    monkeypatch.setattr(s2g.Conv2d_tf, "__init__",
+                        _tf_init(torch.nn.Conv2d))
+
+    cfg = _our_cfg(2)
+    torch.manual_seed(31)
+    gen_t = s2g.Generator(34, 27, 4).float()
+    dis_t = s2g.Discriminator(27).float()
+    gen_t.train(), dis_t.train()
+    g_opt = torch.optim.Adam(gen_t.parameters(),
+                             lr=cfg.train.learning_rate,
+                             betas=cfg.train.betas)
+    d_opt = torch.optim.Adam(
+        dis_t.parameters(),
+        lr=cfg.train.learning_rate * cfg.train.dis_lr_scale,
+        betas=cfg.train.betas)
+    targs = argparse.Namespace(n_pre_poses=4, loss_regression_weight=600.0,
+                               loss_gan_weight=5.0)
+
+    gen_j = s2g_j.Generator(n_poses=34, pose_dim=27, n_pre_poses=4)
+    dis_j = s2g_j.Discriminator(pose_dim=27)
+    step, init_state = make_s2g_train_step(cfg, gen_j, dis_j)
+    state = init_state(convert_s2g_generator(gen_t.state_dict()),
+                       convert_s2g_discriminator(dis_t.state_dict()))
+
+    r = np.random.default_rng(32)
+    B = 2
+    spec = r.standard_normal((B, 128, 70)).astype(np.float32)
+    target = (r.standard_normal((B, 34, 27)) * 0.1).astype(np.float32)
+    batch = {"spectrogram": jnp.asarray(spec),
+             "target_vec": jnp.asarray(target)}
+
+    for i, rel in ((0, 2e-3), (1, 2e-2)):
+        ret = train_iter_speech2gesture(
+            targs, torch.from_numpy(spec), torch.from_numpy(target),
+            gen_t, dis_t, g_opt, d_opt, torch.nn.L1Loss())
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert set(ret) == {"loss", "gen", "dis"}
+        _assert_metrics_match(metrics, ret, rel=rel)
