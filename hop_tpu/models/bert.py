@@ -67,11 +67,29 @@ class BertSelfAttention(nn.Module):
         q = q.reshape(B, T, cfg.n_heads, head_dim)
         k = k.reshape(B, T, cfg.n_heads, head_dim)
         v = v.reshape(B, T, cfg.n_heads, head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (head_dim ** 0.5)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(0.1)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt),
-                         v).reshape(B, T, cfg.dim)
+        from hop_tpu.ops.pallas_attention import (fused_attention,
+                                                  pallas_attention_enabled)
+        if pallas_attention_enabled():
+            # opt-in fused kernel (HOP_TPU_PALLAS_ATTN=1): probs never
+            # leave VMEM, but it measures SLOWER than XLA's fused path at
+            # T=34 — see ops/pallas_attention.py for the numbers; dropout
+            # mask comes from the in-kernel PRNG, seeded from the flax
+            # dropout stream
+            rate = 0.0 if deterministic else 0.1
+            if rate > 0.0:
+                key = self.make_rng("dropout")
+                seed = jax.random.key_data(key).reshape(-1)[:1].astype(
+                    jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            ctx = fused_attention(q, k, v, seed, 1.0 / head_dim ** 0.5,
+                                  rate).reshape(B, T, cfg.dim)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (head_dim ** 0.5)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(0.1)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt),
+                             v).reshape(B, T, cfg.dim)
         out = nn.Dense(cfg.dim, kernel_init=_row(dense_init), dtype=dt,
                        name="out")(ctx)
         return out.astype(jnp.float32)
