@@ -40,11 +40,29 @@ class ReprogrammingLayer(nn.Module):
         k = k.reshape(S, H, E)
         v = v.reshape(S, H, E)
 
-        scores = jnp.einsum("blhe,she->bhls", q, k)
-        attn = jax.nn.softmax(scores / (E ** 0.5), axis=-1)
-        attn = nn.Dropout(self.attention_dropout)(attn,
-                                                  deterministic=deterministic)
-        out = jnp.einsum("bhls,she->blhe", attn, v).reshape(B, L, H * E)
+        from hop_tpu.ops.pallas_reprogramming import (
+            fused_reprogramming_attention, reprogramming_attention_enabled,
+            operand_dtype, seed_from_key)
+        if reprogramming_attention_enabled():
+            # flash kernel: the (B, H, L, S=1500) probabilities never
+            # leave VMEM (139 MB/tensor in HBM on the einsum path — see
+            # ops/pallas_reprogramming.py); dropout mask comes from the
+            # in-kernel PRNG, seeded from the flax dropout stream
+            rate = 0.0 if deterministic else self.attention_dropout
+            seed = (seed_from_key(self.make_rng("dropout")) if rate > 0.0
+                    else jnp.zeros((1,), jnp.int32))
+            dt = operand_dtype(q.dtype)
+            out = fused_reprogramming_attention(
+                q.astype(dt), jnp.transpose(k, (1, 0, 2)).astype(dt),
+                jnp.transpose(v, (1, 0, 2)).astype(dt), seed,
+                1.0 / E ** 0.5, rate)
+            out = out.reshape(B, L, H * E)
+        else:
+            scores = jnp.einsum("blhe,she->bhls", q, k)
+            attn = jax.nn.softmax(scores / (E ** 0.5), axis=-1)
+            attn = nn.Dropout(self.attention_dropout)(
+                attn, deterministic=deterministic)
+            out = jnp.einsum("bhls,she->blhe", attn, v).reshape(B, L, H * E)
         out = nn.relu(out)
         return nn.Dense(self.d_llm, name="out_projection")(out)
 

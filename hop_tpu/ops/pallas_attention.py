@@ -71,11 +71,11 @@ def pallas_attention_enabled() -> bool:
         return False
 
 
-def _random_bits(shape, seed_scalar):
+def _random_bits(shape, seed_scalar, interpret=None):
     """uint32 bits: hardware PRNG on TPU; a deterministic integer hash in
     interpret mode (pltpu.prng_* is NotImplemented there) — the interpret
     stream differs from the TPU stream, which only matters for tests."""
-    if _interpret():
+    if _interpret() if interpret is None else interpret:
         x = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
         for d in range(len(shape) - 1):
             x = x + jax.lax.broadcasted_iota(jnp.uint32, shape, d) \
@@ -90,9 +90,9 @@ def _random_bits(shape, seed_scalar):
     return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
 
 
-def _keep_mask(shape, rate: float, seed_scalar):
+def _keep_mask(shape, rate: float, seed_scalar, interpret=None):
     """Bernoulli(1-rate) keep mask from the in-kernel PRNG."""
-    bits = _random_bits(shape, seed_scalar)
+    bits = _random_bits(shape, seed_scalar, interpret)
     threshold = jnp.uint32(int(rate * 2 ** 32))
     return (bits >= threshold).astype(jnp.float32)
 
