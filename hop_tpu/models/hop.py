@@ -96,15 +96,18 @@ class HOPModel(nn.Module):
     def __call__(self, in_audio: jnp.ndarray, x_enc: jnp.ndarray,
                  text: jnp.ndarray, pre_seq: jnp.ndarray,
                  vid_indices: Optional[jnp.ndarray] = None,
-                 *, rng: Optional[jax.Array] = None, train: bool = False):
+                 *, rng: Optional[jax.Array] = None, train: bool = False,
+                 llm_train: Optional[bool] = None):
         z_context, z_mu, z_logvar = self.speaker(vid_indices, rng)
-        trunk = self.trunk(in_audio, x_enc, text, pre_seq, train=train)
+        trunk = self.trunk(in_audio, x_enc, text, pre_seq, train=train,
+                           llm_train=llm_train)
         out = self.head(trunk, z_context)
         return out, z_context, z_mu, z_logvar
 
     def two_speaker_forward(self, in_audio, x_enc, text, pre_seq,
                             vid_indices, rand_vid_indices,
-                            *, rng: jax.Array, train: bool = False):
+                            *, rng: jax.Array, train: bool = False,
+                            llm_train: Optional[bool] = None):
         """Fused diversity-regulariser forward: the audio/text/graph trunk is
         speaker-independent (the latent only joins at the GRU input,
         HOP.py:241-246), so compute it once and run the recurrent head on a
@@ -113,7 +116,8 @@ class HOPModel(nn.Module):
         rng_a, rng_b = jax.random.split(rng)
         z_a, mu_a, logvar_a = self.speaker(vid_indices, rng_a)
         z_b, _, _ = self.speaker(rand_vid_indices, rng_b)
-        trunk = self.trunk(in_audio, x_enc, text, pre_seq, train=train)
+        trunk = self.trunk(in_audio, x_enc, text, pre_seq, train=train,
+                           llm_train=llm_train)
         stacked = jnp.concatenate([trunk, trunk], axis=0)
         z = jnp.concatenate([z_a, z_b], axis=0)
         out2 = self.head(stacked, z)
@@ -122,12 +126,24 @@ class HOPModel(nn.Module):
 
     def trunk(self, in_audio: jnp.ndarray, x_enc: jnp.ndarray,
               text: jnp.ndarray, pre_seq: jnp.ndarray,
-              train: bool = False) -> jnp.ndarray:
+              train: bool = False,
+              llm_train: Optional[bool] = None) -> jnp.ndarray:
+        """llm_train gates dropout in the FROZEN backbone separately from
+        the rest of the model (default: follows `train`). The reference's
+        actual mode dynamics: HF from_pretrained returns the BertModel in
+        eval mode, run_ted.py never calls model.train() (commented out at
+        :379), so epoch 0 runs the backbone WITHOUT dropout; the first
+        evaluate_testset then calls model.train(True) (Evaluate.py:290),
+        recursively flipping the backbone to train mode — dropout ON from
+        epoch 1. The outer model's own dropouts (reprogramming attention,
+        HOP.py:266-268) default to train mode from construction and are
+        active from epoch 0, gated here by plain `train`."""
         cfg = self.cfg
         n_poses = cfg.data.n_poses
         num_joints = cfg.data.n_joints_graph
         B = in_audio.shape[0]
 
+        llm_det = not (train if llm_train is None else llm_train)
         text_embeddings = self.llm.embed_tokens(text.astype(jnp.int32))
         if cfg.hop.use_reprogramming:
             word_emb = self.llm.word_embeddings.embedding
@@ -138,9 +154,9 @@ class HOPModel(nn.Module):
                 x_enc, source, source, deterministic=not train)
             llm_in = jnp.concatenate([enc_out, text_embeddings], axis=-1)
             llm_in = self.align_layer(llm_in)
-            dec_out = self.llm(llm_in, deterministic=not train)
+            dec_out = self.llm(llm_in, deterministic=llm_det)
         else:
-            dec_out = self.llm(text_embeddings, deterministic=not train)
+            dec_out = self.llm(text_embeddings, deterministic=llm_det)
 
         if cfg.hop.use_gwnet:
             beat_in = self._beat_features(in_audio, num_joints, n_poses)

@@ -13,6 +13,12 @@ sample for the diversity regulariser) and three discriminator forwards.
 BatchNorm statistics chain through the forwards in the reference's order.
 All randomness (speaker reparameterisation, target/output noise, random
 video permutation, dropout) is threaded from one per-step PRNG key.
+
+Each returned step is an EpochStep exposing ``for_epoch(epoch)``: epoch 0
+compiles with the frozen backbone's dropout disabled, matching the
+reference's actual module-mode dynamics (HF from_pretrained leaves the
+BertModel in eval mode; the first evaluate_testset's model.train(True)
+flips it — Evaluate.py:145,290, run_ted.py:379 comment, :447).
 """
 
 from __future__ import annotations
@@ -29,7 +35,8 @@ from hop_tpu.models.common import huber, kld_loss
 from hop_tpu.train.state import GANTrainState, adam, adam_with_frozen
 
 
-def _gen_apply(model, params, stats, batch, rng, vids, train=True):
+def _gen_apply(model, params, stats, batch, rng, vids, train=True,
+               llm_train=None):
     rng_z, rng_drop = jax.random.split(rng)
     variables = {"params": params, "batch_stats": stats}
     n_seed = model.cfg.data.n_seed_frames
@@ -37,10 +44,31 @@ def _gen_apply(model, params, stats, batch, rng, vids, train=True):
         variables,
         batch["in_audio"], batch["log_mel"], batch["text_padded"],
         batch["target_vec"][:, :n_seed], vids,
-        rng=rng_z, train=train,
+        rng=rng_z, train=train, llm_train=llm_train,
         rngs={"dropout": rng_drop},
         mutable=["batch_stats"])
     return (out, z, mu, logvar), updates["batch_stats"]
+
+
+class EpochStep:
+    """A train step whose compiled variant depends on the epoch.
+
+    Reference mode dynamics (see HOPModel.trunk docstring): the frozen
+    backbone arrives in eval mode from HF from_pretrained and is only
+    flipped to train mode by the first evaluate_testset's
+    model.train(True) (Evaluate.py:290, called every epoch,
+    run_ted.py:447) — so epoch 0 trains with backbone dropout OFF,
+    epochs >= 1 with it ON. Calling the step directly (no for_epoch)
+    uses the steady-state variant."""
+
+    def __init__(self, steady, epoch0):
+        self._steady, self._epoch0 = steady, epoch0
+
+    def __call__(self, state, batch, rng):
+        return self._steady(state, batch, rng)
+
+    def for_epoch(self, epoch: int):
+        return self._epoch0 if epoch == 0 else self._steady
 
 
 def _dis_apply(model, params, stats, poses, text, rng, train=True):
@@ -67,13 +95,14 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
         return GANTrainState.create(gen_vars, dis_vars, gen_tx, dis_tx)
 
     def gen_loss(gen_params, gen_stats, dis_params, dis_stats, batch, rng,
-                 use_gan: bool):
+                 use_gan: bool, llm_train: bool = True):
         rng_fwd, rng_perm, rng_rand, rng_dis = jax.random.split(rng, 4)
         target = batch["target_vec"]
         vids = batch["vid_indices"]
 
         (out, z, mu, logvar), gen_stats = _gen_apply(
-            model, gen_params, gen_stats, batch, rng_fwd, vids)
+            model, gen_params, gen_stats, batch, rng_fwd, vids,
+            llm_train=llm_train)
 
         h = huber(out, target, loss_cfg.huber_beta)
 
@@ -81,7 +110,8 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
         # (train_llm.py:50-69)
         rand_vids = jax.random.permutation(rng_perm, vids)
         (out_rand, z_rand, _, _), gen_stats = _gen_apply(
-            model, gen_params, gen_stats, batch, rng_rand, rand_vids)
+            model, gen_params, gen_stats, batch, rng_rand, rand_vids,
+            llm_train=llm_train)
         beta = loss_cfg.div_beta
         d = jnp.abs(out - jax.lax.stop_gradient(out_rand)) / beta
         pose_l1 = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5) * beta
@@ -124,11 +154,12 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
                         + jnp.log(1.0 - dis_fake + 1e-8))
         return err, dis_stats
 
-    def _gen_update(state: GANTrainState, batch, rng, use_gan: bool):
+    def _gen_update(state: GANTrainState, batch, rng, use_gan: bool,
+                    llm_train: bool = True):
         grad_fn = jax.value_and_grad(gen_loss, has_aux=True)
         (loss, (gen_stats, dis_stats, metrics)), grads = grad_fn(
             state.gen_params, state.gen_stats, state.dis_params,
-            state.dis_stats, batch, rng, use_gan)
+            state.dis_stats, batch, rng, use_gan, llm_train)
         updates, opt_state = gen_tx_holder["gen"].update(
             grads, state.gen_opt_state, state.gen_params)
         return state.replace(
@@ -140,7 +171,8 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
         ), metrics
 
     # ---- fused fast path (cfg.hop.fused_step) -----------------------------
-    def _two_speaker_apply(gen_params, gen_stats, batch, rng):
+    def _two_speaker_apply(gen_params, gen_stats, batch, rng,
+                           llm_train: bool = True):
         rng_z, rng_drop = jax.random.split(rng)
         rng_perm, rng_z = jax.random.split(rng_z)
         vids = batch["vid_indices"]
@@ -149,17 +181,19 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
             {"params": gen_params, "batch_stats": gen_stats},
             batch["in_audio"], batch["log_mel"], batch["text_padded"],
             batch["target_vec"][:, :cfg.data.n_seed_frames], vids, rand_vids,
-            rng=rng_z, train=True, rngs={"dropout": rng_drop},
+            rng=rng_z, train=True, llm_train=llm_train,
+            rngs={"dropout": rng_drop},
             mutable=["batch_stats"],
             method="two_speaker_forward")
         return (out, out_rand, z, mu, logvar, z_rand), upd["batch_stats"]
 
     def fused_loss(gen_params, dis_params, gen_stats, dis_stats, batch, rng,
-                   use_gan: bool):
+                   use_gan: bool, llm_train: bool = True):
         rng_fwd, rng_d1, rng_d = jax.random.split(rng, 3)
         target = batch["target_vec"]
         (out, out_rand, z, mu, logvar, z_rand), gen_stats = \
-            _two_speaker_apply(gen_params, gen_stats, batch, rng_fwd)
+            _two_speaker_apply(gen_params, gen_stats, batch, rng_fwd,
+                               llm_train)
 
         h = huber(out, target, loss_cfg.huber_beta)
         beta = loss_cfg.div_beta
@@ -197,12 +231,12 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
 
         return loss, (gen_stats, dis_stats, metrics)
 
-    def _fused_update(state, batch, rng, use_gan):
+    def _fused_update(state, batch, rng, use_gan, llm_train=True):
         grad_fn = jax.value_and_grad(fused_loss, argnums=(0, 1),
                                      has_aux=True)
         (loss, (gen_stats, dis_stats, metrics)), (ggrads, dgrads) = grad_fn(
             state.gen_params, state.dis_params, state.gen_stats,
-            state.dis_stats, batch, rng, use_gan)
+            state.dis_stats, batch, rng, use_gan, llm_train)
         gupd, gopt = gen_tx_holder["gen"].update(
             ggrads, state.gen_opt_state, state.gen_params)
         state = state.replace(
@@ -217,45 +251,55 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
                 dis_opt_state=dopt)
         return state, metrics
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fused_warmup_step(state, batch, rng):
-        return _fused_update(state, batch, rng, use_gan=False)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fused_gan_step(state, batch, rng):
-        return _fused_update(state, batch, rng, use_gan=True)
+    def _jit_fused(use_gan, llm_train):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch, rng):
+            return _fused_update(state, batch, rng, use_gan=use_gan,
+                                 llm_train=llm_train)
+        return step
 
     if cfg.hop.fused_step:
-        return fused_warmup_step, fused_gan_step, init_state
+        return (EpochStep(_jit_fused(False, True), _jit_fused(False, False)),
+                EpochStep(_jit_fused(True, True), _jit_fused(True, False)),
+                init_state)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def warmup_step(state: GANTrainState, batch, rng):
-        return _gen_update(state, batch, rng, use_gan=False)
+    def _jit_warmup(llm_train):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch, rng):
+            return _gen_update(state, batch, rng, use_gan=False,
+                               llm_train=llm_train)
+        return step
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def gan_step(state: GANTrainState, batch, rng):
-        rng_d_fwd, rng_d, rng_g = jax.random.split(rng, 3)
+    def _jit_gan(llm_train):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def gan_step(state: GANTrainState, batch, rng):
+            rng_d_fwd, rng_d, rng_g = jax.random.split(rng, 3)
 
-        # --- D phase: extra generator forward, detached (train_llm.py:15-36)
-        (fake, *_), gen_stats = _gen_apply(
-            model, state.gen_params, state.gen_stats, batch, rng_d_fwd,
-            batch["vid_indices"])
-        fake = jax.lax.stop_gradient(fake)
-        grad_fn = jax.value_and_grad(dis_loss, has_aux=True)
-        (dis_err, dis_stats), dgrads = grad_fn(
-            state.dis_params, state.dis_stats, fake, batch["target_vec"],
-            batch["text_padded"], rng_d)
-        dupdates, dis_opt_state = gen_tx_holder["dis"].update(
-            dgrads, state.dis_opt_state, state.dis_params)
-        state = state.replace(
-            gen_stats=gen_stats,
-            dis_params=optax.apply_updates(state.dis_params, dupdates),
-            dis_stats=dis_stats,
-            dis_opt_state=dis_opt_state)
+            # --- D phase: extra generator forward, detached
+            # (train_llm.py:15-36)
+            (fake, *_), gen_stats = _gen_apply(
+                model, state.gen_params, state.gen_stats, batch, rng_d_fwd,
+                batch["vid_indices"], llm_train=llm_train)
+            fake = jax.lax.stop_gradient(fake)
+            grad_fn = jax.value_and_grad(dis_loss, has_aux=True)
+            (dis_err, dis_stats), dgrads = grad_fn(
+                state.dis_params, state.dis_stats, fake, batch["target_vec"],
+                batch["text_padded"], rng_d)
+            dupdates, dis_opt_state = gen_tx_holder["dis"].update(
+                dgrads, state.dis_opt_state, state.dis_params)
+            state = state.replace(
+                gen_stats=gen_stats,
+                dis_params=optax.apply_updates(state.dis_params, dupdates),
+                dis_stats=dis_stats,
+                dis_opt_state=dis_opt_state)
 
-        # --- G phase against the freshly updated discriminator
-        state, metrics = _gen_update(state, batch, rng_g, use_gan=True)
-        metrics["dis"] = dis_err
-        return state, metrics
+            # --- G phase against the freshly updated discriminator
+            state, metrics = _gen_update(state, batch, rng_g, use_gan=True,
+                                         llm_train=llm_train)
+            metrics["dis"] = dis_err
+            return state, metrics
+        return gan_step
 
-    return warmup_step, gan_step, init_state
+    return (EpochStep(_jit_warmup(True), _jit_warmup(False)),
+            EpochStep(_jit_gan(True), _jit_gan(False)),
+            init_state)

@@ -87,6 +87,10 @@ def run_training(cfg: Config,
                    and epoch > cfg.loss.warmup_epochs
                    and cfg.loss.gan_weight > 0.0)
         step_fn = gan_step if use_gan else warmup_step
+        if hasattr(step_fn, "for_epoch"):
+            # reference LLM-dropout dynamics: the frozen backbone is in
+            # eval mode during epoch 0 only (train/llm.py EpochStep)
+            step_fn = step_fn.for_epoch(epoch)
         epoch_rng = jax.random.fold_in(rng, epoch)
 
         for i, batch in enumerate(train_batches_fn(epoch)):
