@@ -69,12 +69,18 @@ class BertSelfAttention(nn.Module):
         v = v.reshape(B, T, cfg.n_heads, head_dim)
         from hop_tpu.ops.pallas_attention import (fused_attention,
                                                   pallas_attention_enabled)
-        if pallas_attention_enabled():
-            # opt-in fused kernel (HOP_TPU_PALLAS_ATTN=1): probs never
-            # leave VMEM, but it measures SLOWER than XLA's fused path at
-            # T=34 — see ops/pallas_attention.py for the numbers; dropout
-            # mask comes from the in-kernel PRNG, seeded from the flax
-            # dropout stream
+        from hop_tpu.ops.pallas_block_attention import (
+            block_attention, block_attention_enabled, operand_dtype)
+        if pallas_attention_enabled() or block_attention_enabled():
+            # opt-in pallas attention; BOTH kernels measured slower than
+            # XLA's fused path at T=34 and default OFF (kept as
+            # engineering records): v1 per-head (HOP_TPU_PALLAS_ATTN=1,
+            # ops/pallas_attention.py), v2 block-diagonal
+            # (HOP_TPU_PALLAS_BLOCK_ATTN=1, ops/pallas_block_attention.py
+            # — NB x T rows fused into one MXU matmul per head,
+            # cross-sample scores masked to -inf). Dropout mask comes
+            # from the in-kernel PRNG, seeded from the flax dropout
+            # stream.
             rate = 0.0 if deterministic else 0.1
             if rate > 0.0:
                 key = self.make_rng("dropout")
@@ -82,8 +88,14 @@ class BertSelfAttention(nn.Module):
                     jnp.int32)
             else:
                 seed = jnp.zeros((1,), jnp.int32)
-            ctx = fused_attention(q, k, v, seed, 1.0 / head_dim ** 0.5,
-                                  rate).reshape(B, T, cfg.dim)
+            if pallas_attention_enabled():
+                ctx = fused_attention(q, k, v, seed, 1.0 / head_dim ** 0.5,
+                                      rate).reshape(B, T, cfg.dim)
+            else:
+                bdt = operand_dtype(q.dtype)
+                ctx = block_attention(
+                    q.astype(bdt), k.astype(bdt), v.astype(bdt), seed,
+                    1.0 / head_dim ** 0.5, rate).reshape(B, T, cfg.dim)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (head_dim ** 0.5)
             probs = jax.nn.softmax(scores, axis=-1)
