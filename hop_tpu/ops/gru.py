@@ -27,23 +27,33 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
-def _pallas_gru_enabled() -> bool:
-    """Switch for the fused time-grid Pallas kernel
-    (ops/pallas_gru_stack.py). Default ON on TPU — measured on v5e at the
-    HOP head shape (B=256, T=34, H=350, 4-layer bidir): fwd 4.4 -> 3.9 ms
-    and fwd+bwd 19.6 -> 8.3 ms vs the lax.scan path (the custom VJP
-    accumulates dW_hh/db_hh in-kernel), lifting the full GAN step from
-    9.0 to 10.9 steps/s. Opt out with HOP_TPU_PALLAS_GRU=0; CPU always
-    uses the scan."""
+def _pallas_gru_enabled():
+    """Mode switch for the Pallas GRU kernels. Values of
+    HOP_TPU_PALLAS_GRU:
+
+      0               lax.scan path everywhere
+      1 (default)     v2 time-grid kernel (ops/pallas_gru_stack: input
+                      projections in XLA, recurrence in-kernel) — v5e
+                      HOP head (B=256, T=34, H=350, 4-layer bidir):
+                      fwd+bwd 19.6 -> 8.3 ms vs scan
+      fused           v3 fully-fused kernel (ops/pallas_gru_fused:
+                      projections + recurrence in one kernel, gate
+                      streams never touch HBM)
+      interpret / interpret-fused   CPU tests of the pallas branches
+
+    CPU always uses the scan unless an interpret mode is forced."""
     flag = os.environ.get("HOP_TPU_PALLAS_GRU", "1")
     if flag == "0":
         return False
-    if flag == "interpret":   # CPU tests of the pallas branch
-        return "interpret"
+    if flag in ("interpret", "interpret-fused"):
+        return flag
     try:
-        return jax.devices()[0].platform == "tpu"
+        on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+    if not on_tpu:
+        return False
+    return "fused" if flag == "fused" else "stack"
 
 
 def _pallas_layer_tm(x_tm, dir_params, h0, h, interpret=False):
@@ -72,6 +82,30 @@ def _pallas_layer_tm(x_tm, dir_params, h0, h, interpret=False):
     w = jnp.stack(wg, axis=1)    # (D, 3, H, H)
     b = jnp.stack(bg, axis=1)    # (D, 3, 1, H)
     return gru_stack(xg[0], xg[1], xg[2], w, b, h0, interpret)
+
+
+def _fused_layer_tm(x_tm, dir_params, h, interpret=False):
+    """One (bi)directional layer through the fully-fused v3 kernel
+    (ops/pallas_gru_fused): per-gate input projections happen INSIDE the
+    time-grid kernel, so the (D, T, B, H) gate streams never exist in
+    HBM. dir_params: list of torch-layout (w_ih, w_hh, b_ih, b_hh) per
+    direction. Returns y (D, T, B, H)."""
+    from hop_tpu.ops.pallas_gru_fused import gru_fused_layer
+
+    wih, bih, whh, bhh = [], [], [], []
+    for g in range(3):
+        sl = slice(g * h, (g + 1) * h)
+        wih.append(jnp.stack([p[0][sl].T for p in dir_params]))   # (D,I,H)
+        bih.append(jnp.stack([p[2][sl][None, :] for p in dir_params]))
+        whh.append(jnp.stack([p[1][sl].T for p in dir_params]))   # (D,H,H)
+        bhh.append(jnp.stack([p[3][sl][None, :] for p in dir_params]))
+    wih = jnp.stack(wih, axis=1)     # (D, 3, I, H)
+    bih = jnp.stack(bih, axis=1)     # (D, 3, 1, H)
+    whh = jnp.stack(whh, axis=1)     # (D, 3, H, H)
+    bhh = jnp.stack(bhh, axis=1)     # (D, 3, 1, H)
+    B = x_tm.shape[1]
+    h0 = jnp.zeros((B, h), x_tm.dtype)
+    return gru_fused_layer(x_tm, wih, bih, whh, bhh, h0, interpret)
 
 
 def _gru_layer_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
@@ -251,9 +285,13 @@ class GRU(nn.Module):
                      self.param(f"w_hh{suffix}_reverse", init, (3 * h, h)),
                      self.param(f"b_ih{suffix}_reverse", init, (3 * h,)),
                      self.param(f"b_hh{suffix}_reverse", init, (3 * h,))))
-            y = _pallas_layer_tm(x_tm, dir_params, h0, h,
-                                 interpret=_pallas_gru_enabled()
-                                 == "interpret")
+            mode = _pallas_gru_enabled()
+            if mode in ("fused", "interpret-fused"):
+                y = _fused_layer_tm(x_tm, dir_params, h,
+                                    interpret=mode == "interpret-fused")
+            else:
+                y = _pallas_layer_tm(x_tm, dir_params, h0, h,
+                                     interpret=mode == "interpret")
             if self.bidirectional:
                 x_tm = jnp.concatenate([y[0], y[1]], axis=-1)
                 last_hiddens.append(y[0, -1])
