@@ -11,11 +11,18 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import tempfile
 from pathlib import Path
 from typing import Optional
 
 import jax
+
+# Honour JAX_PLATFORMS=cpu even though the axon TPU plugin in this image
+# ignores the env var and would try (and possibly hang) to initialise the
+# tunnel backend; same guard as tests/conftest.py and __graft_entry__.py.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

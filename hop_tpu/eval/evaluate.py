@@ -59,7 +59,7 @@ def evaluate_testset(batches: Iterable[dict],
         evaluator.reset()
 
     losses, maes = [], []
-    bc_num = bc_den = 0.0
+    bc_nums, bc_dens = [], []
     compute_bc = epoch > cfg.loss.bc_start_epoch
 
     for batch in batches:
@@ -75,10 +75,12 @@ def evaluate_testset(batches: Iterable[dict],
         if evaluator is not None:
             evaluator.push_samples(outputs, target)
         if compute_bc:
+            # accumulated as device scalars — a per-batch float() here would
+            # sync the dispatch pipeline every batch; one fetch at the end
             s, w = beat_mod.beat_consistency(outputs, batch["in_audio"], skel,
                                              cfg.data.pose_resampling_fps)
-            bc_num += float(s)
-            bc_den += float(w)
+            bc_nums.append(s)
+            bc_dens.append(w)
 
     if evaluator is not None:
         fd, feat_dist = evaluator.get_scores()
@@ -86,6 +88,8 @@ def evaluate_testset(batches: Iterable[dict],
     else:
         fd = feat_dist = diversity = float("nan")
 
+    bc_num = sum(float(x) for x in jax.device_get(bc_nums)) if bc_nums else 0.0
+    bc_den = sum(float(x) for x in jax.device_get(bc_dens)) if bc_dens else 0.0
     return EvalResult(
         loss=float(np.mean([float(x) for x in losses])),
         mae=float(np.mean([float(x) for x in maes])),

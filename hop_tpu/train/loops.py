@@ -93,16 +93,33 @@ def run_training(cfg: Config,
             step_fn = step_fn.for_epoch(epoch)
         epoch_rng = jax.random.fold_in(rng, epoch)
 
+        # Metric scalars are accumulated as device arrays and only
+        # materialised at the logging boundary: a per-step float() would
+        # force a device->host sync every iteration, defeating JAX's async
+        # dispatch (the host could not assemble batch i+1 while the device
+        # runs step i). One fetch per `log_every` steps keeps the pipeline
+        # full; the meter averages are identical.
+        pending: list = []
+
+        def _drain():
+            if not pending:
+                return
+            fetched = jax.device_get([m for m, _ in pending])
+            for vals, (_, bsz) in zip(fetched, pending):
+                for name, meter in meters.items():
+                    if name in vals:
+                        meter.update(float(vals[name]), bsz)
+            pending.clear()
+
         for i, batch in enumerate(train_batches_fn(epoch)):
             iter_count += 1
             rng_step = jax.random.fold_in(epoch_rng, i)
             state, metrics = step_fn(state, batch, rng_step)
             bsz = next(iter(batch.values())).shape[0]
-            for name, meter in meters.items():
-                if name in metrics:
-                    meter.update(float(metrics[name]), bsz)
+            pending.append((metrics, bsz))
 
             if (i + 1) % log_every == 0:
+                _drain()
                 summary = f"\titers: {i + 1}, epoch: {epoch + 1} "
                 for meter in meters.values():
                     if meter.count > 0:
@@ -114,6 +131,7 @@ def run_training(cfg: Config,
                 time_now = time.time()
                 iter_count = 0
 
+        _drain()
         print(f"Epoch: {epoch + 1} cost time: "
               f"{time.time() - epoch_start:.1f}s")
 
