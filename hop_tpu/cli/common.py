@@ -67,6 +67,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "when >1 device, 1 = off)")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tensor-parallel degree for the frozen LLM kernels")
+    p.add_argument("--dcn-slices", type=int, default=1,
+                   help="number of ICI slices joined over DCN; adds an "
+                        "outer 'dcn' mesh axis carrying data-parallel "
+                        "traffic only (batch shards over dcn x data, "
+                        "ZeRO-2 moments stay in-slice)")
     p.add_argument("--parity-step", action="store_true",
                    help="train HOP with the reference's exact 3-forward "
                         "sequential D/G step instead of the default fused "

@@ -313,17 +313,21 @@ def train_main(cfg: Config, args) -> float:
     # -polymorphic, XLA inserts the gradient psums.
     n_dev = len(jax.devices())
     n_mp = max(getattr(args, "model_parallel", 1), 1)
+    n_dcn = max(getattr(args, "dcn_slices", 1), 1)
     n_dp = getattr(args, "data_parallel", 0)
     if n_dp == 0:
-        n_dp = n_dev // n_mp if n_dev > 1 else 1
+        n_dp = n_dev // (n_mp * n_dcn) if n_dev > 1 else 1
     mesh_ctx = None
-    if n_dp * n_mp > 1:
+    if n_dp * n_mp * n_dcn > 1:
         from hop_tpu.parallel import create_mesh, shard_state, shard_batch
-        mesh = create_mesh(n_dp, n_mp)
+        mesh = create_mesh(n_dp, n_mp, n_dcn=n_dcn)
         # ZeRO-2 analog on by default, like the reference's DeepSpeed
         # plugin (run_ted.py:110-112): Adam moments sharded over 'data'
         zero2 = not getattr(args, "no_zero2", False) and n_dp > 1
-        print(f"mesh: data={n_dp} x model={n_mp}"
+        axes = f"data={n_dp} x model={n_mp}"
+        if n_dcn > 1:
+            axes = f"dcn={n_dcn} x " + axes
+        print(f"mesh: {axes}"
               + (" (zero2 opt-state sharding)" if zero2 else ""))
         state = shard_state(state, mesh, zero2=zero2)
         mesh_ctx = mesh

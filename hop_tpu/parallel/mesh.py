@@ -23,18 +23,35 @@ from flax.core import meta as flax_meta
 
 
 def create_mesh(n_data: int | None = None, n_model: int = 1,
-                devices=None) -> Mesh:
-    """(data, model) mesh over the available devices."""
+                devices=None, n_dcn: int = 1) -> Mesh:
+    """(data, model) mesh over the available devices.
+
+    n_dcn > 1 adds an outer 'dcn' axis for multi-slice deployments
+    (SURVEY §5.8): the batch is sharded over (dcn, data) jointly, the
+    'data'/'model' axes stay within one ICI domain, and only
+    data-parallel gradient all-reduce traffic crosses the DCN axis —
+    XLA's hierarchical collectives split the psum into an in-slice
+    reduce-scatter, a small cross-slice all-reduce, and an in-slice
+    all-gather on real multi-slice topologies. ZeRO-2 moment sharding
+    (zero2_spec) stays on 'data' so the optimizer-state all-gather
+    rides ICI, never DCN.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
-    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+        n_data = len(devices) // (n_model * n_dcn)
+    n_used = n_dcn * n_data * n_model
+    assert n_used <= len(devices), (n_dcn, n_data, n_model, len(devices))
+    if n_dcn > 1:
+        grid = np.array(devices[:n_used]).reshape(n_dcn, n_data, n_model)
+        return Mesh(grid, ("dcn", "data", "model"))
+    grid = np.array(devices[:n_used]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data'."""
+    """Shard the leading (batch) axis over 'data' (and 'dcn' if present)."""
+    if "dcn" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn", "data")))
     return NamedSharding(mesh, P("data"))
 
 

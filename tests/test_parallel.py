@@ -108,6 +108,52 @@ def test_state_shardings_structure():
     assert batch_sharding(mesh).spec == P("data")
 
 
+def test_dcn_mesh_creation():
+    mesh = create_mesh(2, 2, n_dcn=2)
+    assert mesh.devices.shape == (2, 2, 2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert batch_sharding(mesh).spec == P(("dcn", "data"))
+
+
+@pytest.mark.slow
+def test_dcn_sharded_step_matches_single_device():
+    """Multi-slice analog (SURVEY §5.8): with an outer 'dcn' axis the
+    batch shards over dcn x data jointly and the step must still equal
+    the single-device update (grad psum spans both axes); ZeRO-2
+    moments stay sharded over 'data' only so the optimizer all-gather
+    never crosses the DCN boundary."""
+    cfg, b, warmup, gan, init_state, gen_vars, dis_vars = _setup()
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    state1 = init_state(copy(gen_vars), copy(dis_vars))
+    state1, m1 = warmup(state1, b, jax.random.PRNGKey(7))
+
+    mesh = create_mesh(4, 1, n_dcn=2)   # 2 slices x 4-way ICI data
+    state2 = init_state(copy(gen_vars), copy(dis_vars))
+    with mesh:
+        state2 = shard_state(state2, mesh, zero2=True)
+        from hop_tpu.parallel import zero2_spec
+        for leaf in jax.tree_util.tree_leaves(state2.gen_opt_state):
+            spec = leaf.sharding.spec
+            assert spec == zero2_spec(leaf.shape, 4)
+            assert not any(s == "dcn" for s in (spec or ()))
+        sb = shard_batch(b, mesh)
+        assert sb["target_vec"].sharding.spec == P(("dcn", "data"))
+        state2, m2 = warmup(state2, sb, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves_with_path(state1.gen_params)
+    l2 = jax.tree_util.tree_leaves_with_path(state2.gen_params)
+    for (p1, a), (_, bb) in zip(l1, l2):
+        path = jax.tree_util.keystr(p1)
+        if "WavEncoder" in path and "bias" in path:
+            continue  # zero-grad leaves: see comment in the test above
+        diff = np.abs(np.asarray(a) - np.asarray(bb))
+        assert diff.mean() < 1e-6, (path, diff.mean())
+        assert diff.max() < 1e-3, (path, diff.max())
+
+
 @pytest.mark.slow
 def test_zero2_opt_state_sharding_matches_single_device():
     """ZeRO-2 analog (SURVEY §2.7; the reference's DeepSpeed plugin,
