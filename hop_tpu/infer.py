@@ -21,16 +21,11 @@ from hop_tpu.data.preprocessor import get_words_in_time_range
 from hop_tpu.ops import mel as mel_ops
 
 
-def compile_forward(model, variables, cfg: Config, batch_size: int = 1):
-    """AOT-compile the HOP generation forward for serving.
-
-    Returns a compiled executable with fixed shapes (no retracing at request
-    time); the per-window host work in generate_long_form is then pure
-    numpy slicing.
-    """
+def _forward_and_shapes(model, variables, cfg: Config, batch_size: int):
+    """The serving forward (weights as a runtime argument — constants would
+    bloat the HLO) and its fixed argument shapes."""
     d = cfg.data
 
-    # weights enter as a runtime argument (constants would bloat the HLO)
     def forward(v, in_audio, log_mel, text, pre_seq, vid, rng):
         out, *_ = model.apply(v, in_audio, log_mel, text, pre_seq,
                               vid, rng=rng, train=False)
@@ -50,8 +45,50 @@ def compile_forward(model, variables, cfg: Config, batch_size: int = 1):
         jax.ShapeDtypeStruct((batch_size,), jnp.int32),
         jax.ShapeDtypeStruct((2,), jnp.uint32),
     )
+    return forward, shapes
+
+
+def compile_forward(model, variables, cfg: Config, batch_size: int = 1):
+    """AOT-compile the HOP generation forward for serving.
+
+    Returns a compiled executable with fixed shapes (no retracing at request
+    time); the per-window host work in generate_long_form is then pure
+    numpy slicing.
+    """
+    forward, shapes = _forward_and_shapes(model, variables, cfg, batch_size)
     compiled = jax.jit(forward).lower(*shapes).compile()
     return lambda *args: compiled(variables, *args)
+
+
+def export_forward(model, variables, cfg: Config, batch_size: int = 1,
+                   platforms=None) -> bytes:
+    """Serialize the generation forward as a portable StableHLO artifact
+    (jax.export): a serving runtime can deserialize and execute it without
+    any model code, passing the checkpoint's variables as the first
+    argument. The reference has no deployment story beyond test_checkpoint's
+    in-process demo (test_checkpoint.py:395-471).
+
+    platforms: lowering targets, e.g. ("tpu",) or ("cpu", "tpu");
+    default = the current default backend.
+
+    The artifact's first argument is the UNBOXED variable tree (plain
+    arrays): flax's Partitioned metadata boxes are not serializable in an
+    exported pytree and carry no meaning for a serving runtime.
+    """
+    from jax import export as jax_export
+    from flax.core import meta as flax_meta
+    variables = flax_meta.unbox(variables)
+    forward, shapes = _forward_and_shapes(model, variables, cfg, batch_size)
+    exp = jax_export.export(jax.jit(forward),
+                            platforms=platforms)(*shapes)
+    return exp.serialize()
+
+
+def load_exported(blob: bytes):
+    """Deserialize an export_forward artifact; returns a jit-compatible
+    callable(variables, in_audio, log_mel, text, pre_seq, vid, rng)."""
+    from jax import export as jax_export
+    return jax_export.deserialize(blob).call
 
 
 def generate_long_form(cfg: Config,
