@@ -572,6 +572,39 @@ def test_hierarchical_generator_forward_parity_live(ref, monkeypatch):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_torch_export_roundtrip_against_live_model(ref):
+    """eval/torch_export_hop inverts the importer against the live
+    reference model: converting the reference's OWN state_dict to flax and
+    exporting it back reproduces every exported tensor bit-exactly, and
+    the live model strict=False-loads the export with zero unexpected
+    keys (missing = the frozen LLM + the two dead blocks only)."""
+    from hop_tpu.eval.torch_export_hop import export_hop_state_dict
+
+    model_t = _build_torch_hop(ref, llm_layers=2)
+    sd = model_t.state_dict()
+    cfg = _our_cfg(2)
+    variables = convert_hop_model(sd, cfg)
+    sd_out = export_hop_state_dict(variables, cfg)
+
+    assert len(sd_out) > 80
+    for k, v in sd_out.items():
+        assert k in sd, f"exported key {k} unknown to the reference model"
+        np.testing.assert_array_equal(
+            np.asarray(v), sd[k].detach().cpu().numpy(), err_msg=k)
+
+    res = model_t.load_state_dict(
+        {k: ref.torch.as_tensor(np.asarray(v)) for k, v in sd_out.items()},
+        strict=False)
+    assert list(res.unexpected_keys) == []
+    for k in res.missing_keys:
+        # word_embeddings is the tied alias of the frozen BERT vocab
+        # matrix (HOP.py:111) — frozen-LLM state like llm_model.*
+        assert (k.startswith("llm_model.")
+                or k == "word_embeddings"
+                or k.startswith("audio_encoder.")
+                or k.startswith("gwnet.residual_convs.")), k
+
+
 def test_trainable_param_count_matches_live_reference(ref):
     """Our HOP carries exactly the reference's trainable parameters minus
     its two DEAD blocks: the always-built WavEncoder that the gwnet path
