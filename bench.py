@@ -82,7 +82,26 @@ def main():
                         "same FGD minima over 3 seeds x 20 epochs, "
                         "benchmarks/FUSED_MULTISEED.json — the training "
                         "default since round 3)")
+    p.add_argument("--watchdog-sec", type=int, default=3600,
+                   help="hard wall-clock bound: if the run (incl. a wedged "
+                        "TPU-tunnel init or a cold compile) exceeds this, "
+                        "print a JSON error line and exit instead of "
+                        "hanging forever")
     args = p.parse_args()
+
+    import threading
+
+    def _watchdog():
+        print(json.dumps({
+            "metric": "train_steps_per_sec", "value": None,
+            "unit": "steps/s", "vs_baseline": None,
+            "error": f"watchdog: exceeded {args.watchdog_sec}s "
+                     "(wedged TPU tunnel?)"}), flush=True)
+        os._exit(2)
+
+    timer = threading.Timer(args.watchdog_sec, _watchdog)
+    timer.daemon = True
+    timer.start()
 
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
