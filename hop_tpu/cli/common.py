@@ -67,6 +67,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "when >1 device, 1 = off)")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tensor-parallel degree for the frozen LLM kernels")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace of train steps "
+                        "2-5 into this dir (summarise with "
+                        "benchmarks/profile_step.py --analyze-only)")
     p.add_argument("--dcn-slices", type=int, default=1,
                    help="number of ICI slices joined over DCN; adds an "
                         "outer 'dcn' mesh axis carrying data-parallel "

@@ -347,5 +347,6 @@ def train_main(cfg: Config, args) -> float:
             tensorboard_dir=getattr(args, "tensorboard_dir", None),
             log_every=args.log_every,
             start_epoch=start_epoch, best_fgd=best_fgd,
-            checkpoint_every=getattr(args, "checkpoint_every", 1))
+            checkpoint_every=getattr(args, "checkpoint_every", 1),
+            profile_dir=getattr(args, "profile_dir", None))
     return best_fgd

@@ -65,7 +65,8 @@ def run_training(cfg: Config,
                  epochs: Optional[int] = None,
                  start_epoch: int = 0,
                  best_fgd: float = float("inf"),
-                 checkpoint_every: int = 1):
+                 checkpoint_every: int = 1,
+                 profile_dir: Optional[str] = None):
     """Runs the full schedule; returns (state, best_fgd).
 
     Exact resume: the per-step RNG is derived as
@@ -80,6 +81,11 @@ def run_training(cfg: Config,
     writer = MetricWriter(metric_path, tensorboard_dir)
     iter_count = 0
     time_now = time.time()
+    # --profile-dir: capture a jax.profiler device trace of steps 2-5 of
+    # the first epoch (step 1 pays the compile); view in Perfetto /
+    # TensorBoard or summarise with benchmarks/profile_step.py
+    # --analyze-only
+    profiling = False
 
     for epoch in range(start_epoch, epochs):
         epoch_start = time.time()
@@ -113,10 +119,18 @@ def run_training(cfg: Config,
 
         for i, batch in enumerate(train_batches_fn(epoch)):
             iter_count += 1
+            if profile_dir and epoch == start_epoch and i == 1:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             rng_step = jax.random.fold_in(epoch_rng, i)
             state, metrics = step_fn(state, batch, rng_step)
             bsz = next(iter(batch.values())).shape[0]
             pending.append((metrics, bsz))
+            if profiling and i >= 4:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile trace written to {profile_dir}")
 
             if (i + 1) % log_every == 0:
                 _drain()
@@ -132,6 +146,10 @@ def run_training(cfg: Config,
                 iter_count = 0
 
         _drain()
+        if profiling:   # epoch had < 5 iterations
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profile trace written to {profile_dir}")
         print(f"Epoch: {epoch + 1} cost time: "
               f"{time.time() - epoch_start:.1f}s")
 
