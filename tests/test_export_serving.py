@@ -34,9 +34,10 @@ def _inputs(rng, cfg, B=1):
     )
 
 
+@pytest.mark.parametrize("dataset", ["TED", "TED_expressive"])
 @pytest.mark.slow
-def test_export_roundtrip_matches_direct_forward(rng, tmp_path):
-    cfg = tiny_test_config("TED")
+def test_export_roundtrip_matches_direct_forward(rng, tmp_path, dataset):
+    cfg = tiny_test_config(dataset)
     model = HOPModel(cfg, n_speakers=5)
     inputs = _inputs(rng, cfg)
     variables = model.init({"params": jax.random.PRNGKey(0)},
