@@ -79,6 +79,15 @@ def _pallas_layer_tm(x_tm, dir_params, h0, h, interpret=False):
                   + bih[:, None, None, :])
         wg.append(jnp.stack([p[1][sl, :].T for p in dir_params]))
         bg.append(jnp.stack([p[3][sl][None, :] for p in dir_params]))
+    if os.environ.get("HOP_TPU_GRU_BF16_STREAMS", "0") == "1":
+        # opt-in: store the per-gate input-projection streams (the
+        # kernel's dominant HBM traffic) in bf16 — halves the forward
+        # stream reads AND the backward dx writes (the kernel emits dx
+        # in the primal dtype natively). Gate pre-activations and their
+        # cotangents are quantised to bf16; the recurrent h-path stays
+        # f32. Measure FGD equivalence (benchmarks/compare_fused_step
+        # multi-seed harness) before making this a default.
+        xg = [x.astype(jnp.bfloat16) for x in xg]
     w = jnp.stack(wg, axis=1)    # (D, 3, H, H)
     b = jnp.stack(bg, axis=1)    # (D, 3, 1, H)
     return gru_stack(xg[0], xg[1], xg[2], w, b, h0, interpret)

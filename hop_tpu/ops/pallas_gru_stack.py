@@ -190,9 +190,13 @@ def _bwd_kernel(g_ref, r_ref, z_ref, n_ref, hnb_ref, hprev_ref, wt_ref,
     dr_pre = dn_pre * hnb * r * (1.0 - r)
     dn_h = dn_pre * r
 
-    dx_r_ref[0, 0] = dr_pre
-    dx_z_ref[0, 0] = dz_pre
-    dx_n_ref[0, 0] = dn_pre
+    # input-stream cotangents are emitted in the PRIMAL stream dtype —
+    # under bf16 gate streams (HOP_TPU_GRU_BF16_STREAMS) the halved
+    # bandwidth only materialises if the kernel writes bf16 natively
+    # (an XLA-side cast after an f32 write would ADD a round trip)
+    dx_r_ref[0, 0] = dr_pre.astype(dx_r_ref.dtype)
+    dx_z_ref[0, 0] = dz_pre.astype(dx_z_ref.dtype)
+    dx_n_ref[0, 0] = dn_pre.astype(dx_n_ref.dtype)
 
     wrt, wzt, wnt = wt_ref[0, 0], wt_ref[0, 1], wt_ref[0, 2]
     dh = (g * z
@@ -218,7 +222,8 @@ def _bwd_kernel(g_ref, r_ref, z_ref, n_ref, hnb_ref, hprev_ref, wt_ref,
         dh0_ref[0] = dh
 
 
-def _bwd_call(g, r, z, n, hnb, hprev, w, interpret=False):
+def _bwd_call(g, r, z, n, hnb, hprev, w, dx_dtype=jnp.float32,
+              interpret=False):
     D, T, B, H = g.shape
     bt, nbt = _batch_tiles(B)
     g, r, z, n, hnb, hprev = _pad_batch([g, r, z, n, hnb, hprev],
@@ -245,7 +250,7 @@ def _bwd_call(g, r, z, n, hnb, hprev, w, interpret=False):
         grid=(D, nbt, T),
         in_specs=[x_spec] * 6 + [w_spec],
         out_specs=[x_spec, x_spec, x_spec, w_spec, b_acc_spec, dh0_spec],
-        out_shape=[jax.ShapeDtypeStruct((D, T, Bp, H), jnp.float32)] * 3
+        out_shape=[jax.ShapeDtypeStruct((D, T, Bp, H), dx_dtype)] * 3
         + [jax.ShapeDtypeStruct((D, 3, H, H), jnp.float32),
            jax.ShapeDtypeStruct((D, 3, 1, H), jnp.float32),
            jax.ShapeDtypeStruct((D, Bp, H), jnp.float32)],
@@ -284,11 +289,14 @@ def gru_stack(xr, xz, xn, w, b, h0, interpret=False):
 def _gru_stack_fwd(xr, xz, xn, w, b, h0, interpret=False):
     h_seq, r, z, n, hnb = _fwd_call(xr, xz, xn, w, b, h0,
                                     interpret=interpret)
-    return h_seq, (r, z, n, hnb, h_seq, w, h0)
+    # the zero-size carrier records the primal stream dtype for the
+    # backward's native-dtype dx writes (bf16 under bf16 gate streams)
+    dt = jnp.zeros((0,), xr.dtype)
+    return h_seq, (r, z, n, hnb, h_seq, w, h0, dt)
 
 
 def _gru_stack_bwd(interpret, res, g):
-    r, z, n, hnb, h_seq, w, h0 = res
+    r, z, n, hnb, h_seq, w, h0, dt = res
     D, T, B, H = g.shape
     # h_prev stream: previous hidden state in each direction's own
     # processing order (fw: h_{t-1} with h0 at t=0; bw: h_{t+1} with h0
@@ -300,6 +308,7 @@ def _gru_stack_bwd(interpret, res, g):
     else:
         hprev = prev_fw[None]
     dxr, dxz, dxn, dw, db, dh0 = _bwd_call(g, r, z, n, hnb, hprev, w,
+                                           dx_dtype=dt.dtype,
                                            interpret=interpret)
     return dxr, dxz, dxn, dw, db, jnp.sum(dh0, axis=0)
 

@@ -74,6 +74,31 @@ def test_gradients_match_scan():
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+def test_bf16_streams_close_to_f32():
+    """HOP_TPU_GRU_BF16_STREAMS path: bf16 per-gate input streams must
+    track the f32 kernel within bf16 quantisation error, and the
+    backward must emit dx natively in bf16."""
+    xg, w, b, h0 = _make(3)
+    xg16 = [x.astype(jnp.bfloat16) for x in xg]
+    key = jax.random.normal(jax.random.PRNGKey(2), (2, T, B, H)) * 0.1
+
+    y32 = gru_stack(*xg, w, b, h0, True)
+    y16 = gru_stack(*xg16, w, b, h0, True)
+    assert y16.dtype == jnp.float32    # h-path stays f32
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               rtol=0, atol=2e-2)
+
+    def loss(xr, xz, xn):
+        return jnp.sum(gru_stack(xr, xz, xn, w, b, h0, True) * key)
+
+    g32 = jax.grad(loss, argnums=(0, 1, 2))(*xg)
+    g16 = jax.grad(loss, argnums=(0, 1, 2))(*xg16)
+    for a32, a16 in zip(g32, g16):
+        assert a16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a16, np.float32),
+                                   np.asarray(a32), rtol=0, atol=2e-2)
+
+
 def test_unidirectional_gradients():
     xg, w, b, h0 = _make(2, with_bw=False)
     key = jax.random.normal(jax.random.PRNGKey(1), (1, T, B, H))
