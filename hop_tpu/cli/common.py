@@ -121,6 +121,66 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def restore_hop_model(cfg: Config, checkpoint_dir: str,
+                      allow_random_init: bool = False):
+    """Rebuild a HOPModel from a train_main checkpoint dir.
+
+    Returns (cfg, model, variables, n_speakers). The frozen backbone the
+    checkpoint was trained with is reconstructed from run_metadata
+    (llm_model / llm_layers — it is stripped from the saved arrays,
+    utils/checkpoint.strip_frozen) and its fresh-init weights are
+    reattached. With allow_random_init the helper falls back to the init
+    variables when no checkpoint exists (the demo's labelled
+    random-init mode); otherwise it raises SystemExit.
+    """
+    import dataclasses
+
+    from hop_tpu.models.hop import HOPModel
+    from hop_tpu.utils.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(checkpoint_dir)
+    meta = ckpt.run_metadata()
+    n_speakers = int(meta.get("n_speakers", 10))
+    if meta.get("llm_model") == "LLAMA":
+        from hop_tpu.config import llama7b_llm_config
+        cfg = cfg.replace(llm=llama7b_llm_config(
+            int(meta.get("llm_layers", cfg.llm.n_layers))))
+    elif meta.get("llm_layers"):
+        cfg = cfg.replace(llm=dataclasses.replace(
+            cfg.llm, n_layers=int(meta["llm_layers"])))
+    model = HOPModel(cfg, n_speakers=n_speakers)
+
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    d = cfg.data
+    variables = model.init(
+        rngs,
+        jnp.zeros((1, d.expected_audio_length)),
+        jnp.zeros((1, d.n_poses, d.mel_bins)),
+        jnp.zeros((1, d.n_poses), jnp.int32),
+        jnp.zeros((1, d.n_seed_frames, d.pose_dim)),
+        jnp.zeros((1,), jnp.int32),
+        rng=jax.random.PRNGKey(2), train=False)
+
+    if ckpt.latest_step() is None:
+        if allow_random_init:
+            print("no checkpoint found — using random init")
+            return cfg, model, variables, n_speakers
+        raise SystemExit(f"no checkpoint found in {checkpoint_dir}")
+    state = ckpt.restore()["state"]
+    if "gen_params" not in state:
+        raise SystemExit(
+            f"checkpoint in {checkpoint_dir} is not a HOP generator "
+            f"checkpoint (state keys: {sorted(state)}); train with "
+            "--model AD_LLM to produce one")
+    # the frozen LLM is stripped from checkpoints; take it from the init
+    params = dict(state["gen_params"])
+    params.setdefault("llm", variables["params"]["llm"])
+    variables = {"params": params, "batch_stats": state["gen_stats"]}
+    print(f"restored checkpoint step {ckpt.latest_step()}")
+    return cfg, model, variables, n_speakers
+
+
 def apply_overrides(cfg: Config, args) -> Config:
     import dataclasses
     train = cfg.train

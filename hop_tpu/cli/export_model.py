@@ -23,56 +23,17 @@ import jax
 if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp
 import numpy as np
 
 from hop_tpu.config import ted_config, expressive_config
 from hop_tpu.infer import export_forward
-from hop_tpu.models.hop import HOPModel
-from hop_tpu.utils.checkpoint import CheckpointManager
 
 
 def restore_hop(cfg, checkpoint_dir: str):
-    """(cfg, model, variables, n_speakers) from a train_main checkpoint;
-    same metadata-driven backbone rebuild as cli/test_checkpoint.py."""
-    ckpt = CheckpointManager(checkpoint_dir)
-    meta = ckpt.run_metadata()
-    n_speakers = int(meta.get("n_speakers", 10))
-    if meta.get("llm_model") == "LLAMA":
-        from hop_tpu.config import llama7b_llm_config
-        cfg = cfg.replace(llm=llama7b_llm_config(
-            int(meta.get("llm_layers", cfg.llm.n_layers))))
-    elif meta.get("llm_layers"):
-        import dataclasses
-        cfg = cfg.replace(llm=dataclasses.replace(
-            cfg.llm, n_layers=int(meta["llm_layers"])))
-    model = HOPModel(cfg, n_speakers=n_speakers)
-
-    rngs = {"params": jax.random.PRNGKey(0),
-            "dropout": jax.random.PRNGKey(1)}
-    d = cfg.data
-    variables = model.init(
-        rngs,
-        jnp.zeros((1, d.expected_audio_length)),
-        jnp.zeros((1, d.n_poses, d.mel_bins)),
-        jnp.zeros((1, d.n_poses), jnp.int32),
-        jnp.zeros((1, d.n_seed_frames, d.pose_dim)),
-        jnp.zeros((1,), jnp.int32),
-        rng=jax.random.PRNGKey(2), train=False)
-
-    if ckpt.latest_step() is None:
-        raise SystemExit(f"no checkpoint found in {checkpoint_dir}")
-    state = ckpt.restore()["state"]
-    if "gen_params" not in state:
-        raise SystemExit(
-            f"checkpoint in {checkpoint_dir} is not a HOP generator "
-            f"checkpoint (state keys: {sorted(state)}); train with "
-            "--model AD_LLM to produce one")
-    params = dict(state["gen_params"])
-    # the frozen LLM is stripped from checkpoints; take it from the init
-    params.setdefault("llm", variables["params"]["llm"])
-    variables = {"params": params, "batch_stats": state["gen_stats"]}
-    return cfg, model, variables, n_speakers
+    """(cfg, model, variables, n_speakers) from a train_main checkpoint
+    (shared helper in cli/common — same rebuild as test_checkpoint)."""
+    from hop_tpu.cli.common import restore_hop_model
+    return restore_hop_model(cfg, checkpoint_dir)
 
 
 def main(argv=None):

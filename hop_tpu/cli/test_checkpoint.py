@@ -17,8 +17,6 @@ from hop_tpu.config import ted_config, expressive_config
 from hop_tpu.cli import common as C
 from hop_tpu.data import synthetic
 from hop_tpu.infer import generate_long_form
-from hop_tpu.models.hop import HOPModel
-from hop_tpu.utils.checkpoint import CheckpointManager
 
 
 def main(argv=None):
@@ -96,21 +94,9 @@ def main(argv=None):
     lang = build_vocab("words", [clip.words], None, None,
                        cfg.data.wordembed_dim)
 
-    ckpt = CheckpointManager(args.checkpoint_dir)
-    meta = ckpt.run_metadata()
-    n_speakers = int(meta.get("n_speakers", 10))
-    # rebuild the frozen backbone the checkpoint was trained with (it is
-    # stripped from the saved arrays): train_main records llm_model /
-    # llm_layers in run_metadata
-    if meta.get("llm_model") == "LLAMA":
-        from hop_tpu.config import llama7b_llm_config
-        cfg = cfg.replace(llm=llama7b_llm_config(
-            int(meta.get("llm_layers", cfg.llm.n_layers))))
-    elif meta.get("llm_layers"):
-        import dataclasses
-        cfg = cfg.replace(llm=dataclasses.replace(
-            cfg.llm, n_layers=int(meta["llm_layers"])))
-    model = HOPModel(cfg, n_speakers=n_speakers)
+    cfg, model, variables, n_speakers = C.restore_hop_model(
+        cfg, args.checkpoint_dir, allow_random_init=True)
+
     # seed pose: resampled ground truth start, converted to dir-vec space
     from hop_tpu import geometry
     skeletons = geometry.resample_pose_seq(
@@ -121,36 +107,6 @@ def main(argv=None):
         cfg.data.n_seed_frames, -1)
     if skel.mean_dir_vec is not None:
         seed_vec = seed_vec - skel.mean_dir_vec
-
-    # init params, then override from the checkpoint when one exists
-    rngs = {"params": jax.random.PRNGKey(0),
-            "dropout": jax.random.PRNGKey(1)}
-    import jax.numpy as jnp
-    dummy_audio = jnp.zeros((1, cfg.data.expected_audio_length))
-    dummy_mel = jnp.zeros((1, cfg.data.n_poses, cfg.data.mel_bins))
-    dummy_text = jnp.zeros((1, cfg.data.n_poses), jnp.int32)
-    variables = model.init(rngs, dummy_audio, dummy_mel, dummy_text,
-                           jnp.zeros((1, cfg.data.n_seed_frames,
-                                      cfg.data.pose_dim)),
-                           jnp.zeros((1,), jnp.int32),
-                           rng=jax.random.PRNGKey(2), train=False)
-    if ckpt.latest_step() is not None:
-        restored = ckpt.restore()
-        state = restored["state"]
-        if "gen_params" not in state:
-            raise SystemExit(
-                f"checkpoint in {args.checkpoint_dir} is not a HOP "
-                f"generator checkpoint (state keys: {sorted(state)}); "
-                "train with --model AD_LLM to produce one")
-        # the frozen LLM is stripped from checkpoints (utils/checkpoint.
-        # strip_frozen); take it from the fresh init
-        params = dict(state["gen_params"])
-        params.setdefault("llm", variables["params"]["llm"])
-        variables = {"params": params,
-                     "batch_stats": state["gen_stats"]}
-        print(f"restored checkpoint step {ckpt.latest_step()}")
-    else:
-        print("no checkpoint found — using random init")
 
     # pass the variables as a runtime argument — closing over them would
     # bake ~500MB of weights into the HLO as constants (the tunneled
