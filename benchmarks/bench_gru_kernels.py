@@ -16,7 +16,11 @@ import numpy as np
 
 from hop_tpu.ops.gru import GRU
 
-B, T, IN, H, LAYERS = 256, 34, 434, 350, 4
+# IN=992 is the real HOP head gru_input_size (reference model/HOP.py:148)
+# so layer 0 exercises the large-I weight-staging path; layers 1-3 see
+# I=2H=700. (Earlier rounds benched IN=434; v3 numbers at that shape:
+# fwd 1.06 / fwd+bwd 3.93 ms.)
+B, T, IN, H, LAYERS = 256, 34, 992, 350, 4
 
 
 def timed(step, v, x, iters=50):

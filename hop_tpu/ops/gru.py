@@ -32,17 +32,25 @@ def _pallas_gru_enabled():
     HOP_TPU_PALLAS_GRU:
 
       0               lax.scan path everywhere
-      1 (default)     v2 time-grid kernel (ops/pallas_gru_stack: input
-                      projections in XLA, recurrence in-kernel) — v5e
-                      HOP head (B=256, T=34, H=350, 4-layer bidir):
-                      fwd+bwd 19.6 -> 8.3 ms vs scan
-      fused           v3 fully-fused kernel (ops/pallas_gru_fused:
+      1               v2 time-grid kernel (ops/pallas_gru_stack: input
+                      projections in XLA, recurrence in-kernel)
+      fused (default) v3 fully-fused kernel (ops/pallas_gru_fused:
                       projections + recurrence in one kernel, gate
-                      streams never touch HBM)
+                      streams never touch HBM). At the real HOP head
+                      (B=256, T=34, I=992, H=350, 4-layer bidir) the
+                      isolated microbench has v2 and v3 within noise
+                      (fwd+bwd 4.32 vs 4.40 ms; scan 18.6 ms), but the
+                      FULL GAN step is decisively faster with v3 —
+                      fused 19.38 vs 18.57 steps/s, parity 13.60 vs
+                      13.06 (bench.py, v5e, 2026-08-18) — because the
+                      (D,T,B,H) gate streams v2 round-trips through HBM
+                      also drag relayout/fusion boundaries into the
+                      surrounding step. TPU max |scan - fused| = 7.8e-4
+                      (benchmarks/bench_gru_kernels.py).
       interpret / interpret-fused   CPU tests of the pallas branches
 
     CPU always uses the scan unless an interpret mode is forced."""
-    flag = os.environ.get("HOP_TPU_PALLAS_GRU", "1")
+    flag = os.environ.get("HOP_TPU_PALLAS_GRU", "fused")
     if flag == "0":
         return False
     if flag in ("interpret", "interpret-fused"):

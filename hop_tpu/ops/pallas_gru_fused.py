@@ -71,14 +71,16 @@ def _batch_tiles(B):
 # ---------------------------------------------------------------------------
 
 def _gates(x, h, wih_ref, bih_ref, whh_ref, bhh_ref):
-    """Projections + gate math for one step. x (bt, I), h (bt, H)."""
+    """Projections + gate math for one step. x (bt, I), h (bt, H).
+    wih_ref/whh_ref are (3, I, H)/(3, H, H) VMEM scratch refs;
+    bih_ref/bhh_ref are (1, 3, 1, H) streamed blocks."""
     xs, hs = [], []
     for gidx in range(3):
         xs.append(jax.lax.dot_general(
-            x, wih_ref[0, gidx], (((1,), (0,)), ((), ())),
+            x, wih_ref[gidx], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bih_ref[0, gidx])
         hs.append(jax.lax.dot_general(
-            h, whh_ref[0, gidx], (((1,), (0,)), ((), ())),
+            h, whh_ref[gidx], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bhh_ref[0, gidx])
     r = jax.nn.sigmoid(xs[0] + hs[0])
     z = jax.nn.sigmoid(xs[1] + hs[1])
@@ -87,40 +89,59 @@ def _gates(x, h, wih_ref, bih_ref, whh_ref, bhh_ref):
     return r, z, n, hnb
 
 
-def _fwd_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref,
-                h_ref, r_ref, z_ref, n_ref, hnb_ref, h_scr):
+def _load_dir_weights(D, wih_hbm, whh_hbm, wih_scr, whh_scr, sems):
+    """DMA direction d's weights HBM -> VMEM scratch once, at the first
+    (i, t) grid step of that direction. Scratch staging is single-buffered
+    by construction — streamed weight blocks get double-buffered by the
+    pipeline emitter (~5 MB extra at the HOP head's I=992 first layer)
+    and measured marginally slower end-to-end (full GAN step 19.23 vs
+    19.38 steps/s, bench.py 2026-08-18)."""
+    d = pl.program_id(0)
+    i = pl.program_id(1)
     t = pl.program_id(2)
-
-    @pl.when(t == 0)
-    def _():
-        h_scr[:] = h0_ref[:]
-
-    h = h_scr[:]
-    r, z, n, hnb = _gates(x_ref[0], h, wih_ref, bih_ref, whh_ref, bhh_ref)
-    h_new = (1.0 - z) * n + z * h
-
-    h_ref[0, 0] = h_new
-    r_ref[0, 0] = r
-    z_ref[0, 0] = z
-    n_ref[0, 0] = n
-    hnb_ref[0, 0] = hnb
-    h_scr[:] = h_new
+    for dd in range(D):
+        @pl.when((t == 0) & (i == 0) & (d == dd))
+        def _(dd=dd):
+            ld_w = pltpu.make_async_copy(wih_hbm[dd], wih_scr, sems.at[0])
+            ld_h = pltpu.make_async_copy(whh_hbm[dd], whh_scr, sems.at[1])
+            ld_w.start()
+            ld_h.start()
+            ld_w.wait()
+            ld_h.wait()
 
 
-def _fwd_kernel_lean(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref,
-                     h_ref, h_scr):
-    """Inference variant: h stream only — no residual gate outputs."""
-    t = pl.program_id(2)
+def _make_fwd_kernel(D, with_residuals):
+    def kernel(*refs):
+        x_ref = refs[0]
+        wih_hbm = refs[1:1 + D]
+        bih_ref = refs[1 + D]
+        whh_hbm = refs[2 + D:2 + 2 * D]
+        bhh_ref = refs[2 + 2 * D]
+        h0_ref = refs[3 + 2 * D]
+        o = 4 + 2 * D
+        n_out = 5 if with_residuals else 1
+        out_refs = refs[o:o + n_out]
+        h_scr, wih_scr, whh_scr, sems = refs[o + n_out:]
 
-    @pl.when(t == 0)
-    def _():
-        h_scr[:] = h0_ref[:]
+        _load_dir_weights(D, wih_hbm, whh_hbm, wih_scr, whh_scr, sems)
+        t = pl.program_id(2)
 
-    h = h_scr[:]
-    r, z, n, _ = _gates(x_ref[0], h, wih_ref, bih_ref, whh_ref, bhh_ref)
-    h_new = (1.0 - z) * n + z * h
-    h_ref[0, 0] = h_new
-    h_scr[:] = h_new
+        @pl.when(t == 0)
+        def _():
+            h_scr[:] = h0_ref[:]
+
+        h = h_scr[:]
+        r, z, n, hnb = _gates(x_ref[0], h, wih_scr, bih_ref,
+                              whh_scr, bhh_ref)
+        h_new = (1.0 - z) * n + z * h
+
+        out_refs[0][0, 0] = h_new
+        if with_residuals:
+            for ref, val in zip(out_refs[1:], (r, z, n, hnb)):
+                ref[0, 0] = val
+        h_scr[:] = h_new
+
+    return kernel
 
 
 def _fwd_call(x, wih, bih, whh, bhh, h0, interpret=False,
@@ -135,12 +156,10 @@ def _fwd_call(x, wih, bih, whh, bhh, h0, interpret=False,
 
     x_spec = pl.BlockSpec((1, bt, I), lambda d, i, t: (_time_idx(d, t, T), i, 0),
                           memory_space=pltpu.VMEM)
-    wih_spec = pl.BlockSpec((1, 3, I, H), lambda d, i, t: (d, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    # weights are manually DMA'd into scratch, unpipelined
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     b_spec = pl.BlockSpec((1, 3, 1, H), lambda d, i, t: (d, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    whh_spec = pl.BlockSpec((1, 3, H, H), lambda d, i, t: (d, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
     h0_spec = pl.BlockSpec((bt, H), lambda d, i, t: (i, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, bt, H),
@@ -150,14 +169,27 @@ def _fwd_call(x, wih, bih, whh, bhh, h0, interpret=False,
 
     n_out = 5 if with_residuals else 1
     outs = pl.pallas_call(
-        _fwd_kernel if with_residuals else _fwd_kernel_lean,
+        _make_fwd_kernel(D, with_residuals),
         grid=(D, nbt, T),
-        in_specs=[x_spec, wih_spec, b_spec, whh_spec, b_spec, h0_spec],
+        in_specs=([x_spec] + [hbm_spec] * D + [b_spec]
+                  + [hbm_spec] * D + [b_spec, h0_spec]),
         out_specs=[out_spec] * n_out,
         out_shape=[out_stream] * n_out,
-        scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32),
+                        pltpu.VMEM((3, I, H), jnp.float32),
+                        pltpu.VMEM((3, H, H), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        # XLA's memory-space assignment keeps the HBM weight operands
+        # VMEM-resident across the call (S(1) layouts) on top of the
+        # kernel's own scratch; at the HOP head's I=992 first layer that
+        # totals 18.3 MB and trips the default 16 MB scoped-VMEM limit.
+        # v5e has 128 MB VMEM/core — raise the per-kernel cap instead of
+        # spilling the weights back to HBM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, wih, bih, whh, bhh, h0)
+    )(x, *[wih[d] for d in range(D)], bih,
+      *[whh[d] for d in range(D)], bhh, h0)
     if Bp != B:
         outs = [o[:, :, :B] for o in outs]
     return outs   # [h_seq] or [h_seq, r, z, n, hnb]
@@ -296,7 +328,7 @@ def _bwd_call(g, x, r, z, n, hnb, hprev, wih, whh, interpret=False):
     x_spec = pl.BlockSpec((1, bt, I),
                           lambda d, i, t: (_time_idx(1 - d, t, T), i, 0),
                           memory_space=pltpu.VMEM)
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     dx_spec = pl.BlockSpec((1, 1, bt, I), s_map, memory_space=pltpu.VMEM)
     b_acc_spec = pl.BlockSpec((1, 3, 1, H), lambda d, i, t: (d, 0, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -308,9 +340,9 @@ def _bwd_call(g, x, r, z, n, hnb, hprev, wih, whh, interpret=False):
     outs = pl.pallas_call(
         _make_bwd_kernel(D),
         grid=(D, nbt, T),
-        in_specs=([s_spec, x_spec] + [s_spec] * 5 + [any_spec] * 2 * D),
-        out_specs=([dx_spec] + [any_spec] * D + [b_acc_spec]
-                   + [any_spec] * D + [b_acc_spec, dh0_spec]),
+        in_specs=([s_spec, x_spec] + [s_spec] * 5 + [hbm_spec] * 2 * D),
+        out_specs=([dx_spec] + [hbm_spec] * D + [b_acc_spec]
+                   + [hbm_spec] * D + [b_acc_spec, dh0_spec]),
         out_shape=([jax.ShapeDtypeStruct((D, T, Bp, I), jnp.float32)]
                    + [wg_shape] * D
                    + [jax.ShapeDtypeStruct((D, 3, 1, H), jnp.float32)]
@@ -323,6 +355,9 @@ def _bwd_call(g, x, r, z, n, hnb, hprev, wih, whh, interpret=False):
                         pltpu.VMEM((3, I, H), jnp.float32),
                         pltpu.VMEM((3, H, H), jnp.float32),
                         pltpu.SemaphoreType.DMA((4,))],
+        # see _fwd_call: weights + weight-grads ride VMEM end-to-end
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(g, x, r, z, n, hnb, hprev,
       *[wih[d] for d in range(D)], *[whh[d] for d in range(D)])
