@@ -870,3 +870,122 @@ def test_train_iter_speech2gesture_step_parity(ref, monkeypatch):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
         assert set(ret) == {"loss", "gen", "dis"}
         _assert_metrics_match(metrics, ret, rel=rel)
+
+
+# ---------------------------------------------------------------------------
+# evaluator parity (FGD / feature distance / diversity / recon-err)
+# ---------------------------------------------------------------------------
+
+def test_embedding_space_evaluator_ted_parity(ref, tmp_path, monkeypatch):
+    """model/EmbeddingSpaceEvaluator.py:387-594 driven end-to-end: fabricate
+    a gesture_autoencoder checkpoint with THEIR embedded EmbeddingNet
+    (mode='pose'), load it in their evaluator (scipy.linalg.sqrtm) and in
+    ours (eval/fgd.py, eigh sqrtm on device), push identical batches, and
+    compare FGD, feature distance, recon-err-diff and the batch-block
+    diversity score."""
+    torch = ref.torch
+    import importlib
+    ese_mod = importlib.import_module("model.EmbeddingSpaceEvaluator")
+    from hop_tpu.eval.torch_import import convert_embedding_net_pose
+    from hop_tpu.eval.fgd import (EmbeddingSpaceEvaluator as OurESE,
+                                  make_ted_feature_fn)
+    from hop_tpu.models.embedding_net import EmbeddingNet as OurEmbeddingNet
+
+    args = SimpleNamespace(n_pre_poses=4, n_poses=34, wordembed_dim=300,
+                           pose_dim=27, datasets="TED")
+    torch.manual_seed(11)
+    src = ese_mod.EmbeddingNet(args, 27, 34, 100, 300, None, "pose")
+    for m in src.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    path = tmp_path / "gesture_autoencoder_checkpoint_best.bin"
+    torch.save({"pose_dim": 27, "gen_dict": src.state_dict()}, str(path))
+
+    theirs = ese_mod.EmbeddingSpaceEvaluator(args, str(path), None, 100,
+                                             "cpu")
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_embedding_net_pose(dict(src.state_dict())))
+    net = OurEmbeddingNet(pose_dim=27, n_frames=34, n_words=100, mode="pose")
+    ours = OurESE(make_ted_feature_fn(net, variables))
+
+    r = np.random.default_rng(12)
+    for _ in range(4):
+        gen = (r.standard_normal((16, 34, 27)) * 0.1).astype(np.float32)
+        real = (r.standard_normal((16, 34, 27)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            theirs.push_samples(None, None, torch.from_numpy(gen),
+                                torch.from_numpy(real))
+        ours.push_samples(jnp.asarray(gen), jnp.asarray(real))
+
+    fd_t, feat_t = theirs.get_scores()
+    fd_j, feat_j = ours.get_scores()
+    np.testing.assert_allclose(fd_j, fd_t, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(feat_j, feat_t, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray([float(x) for x in ours._recon_err_diff]),
+        np.asarray(theirs.recon_err_diff), rtol=1e-3, atol=1e-7)
+
+    # diversity: shuffle granularity is whole BATCH blocks on both sides
+    # (reference :498-508); pin both permutations to roll-by-one
+    monkeypatch.setattr(torch, "randperm",
+                        lambda n, **k: (torch.arange(n) + 1) % n)
+
+    class _Perm:
+        @staticmethod
+        def permutation(n):
+            return (np.arange(n) + 1) % n
+
+    div_t = theirs.get_diversity_scores()
+    div_j = ours.get_diversity_scores(rng=_Perm())
+    np.testing.assert_allclose(div_j, div_t, rtol=1e-4)
+
+
+def test_embedding_space_evaluator_expressive_parity(ref, tmp_path):
+    """Expressive path (pose_dim 126): their evaluator loads MotionAE from
+    ckpt['motion_ae'] (EmbeddingSpaceEvaluator.py:411-414); compare FGD +
+    feature distance on identical pushed batches."""
+    torch = ref.torch
+    import importlib
+    ese_mod = importlib.import_module("model.EmbeddingSpaceEvaluator")
+    from model.motion_ae import MotionAE as RefMotionAE
+    from hop_tpu.eval.torch_import import convert_motion_ae
+    from hop_tpu.eval.fgd import (EmbeddingSpaceEvaluator as OurESE,
+                                  make_expressive_feature_fn)
+    from hop_tpu.models.motion_ae import MotionAE as OurMotionAE
+
+    args = SimpleNamespace(n_pre_poses=4, n_poses=34, wordembed_dim=300,
+                           pose_dim=126, datasets="expressive")
+    torch.manual_seed(13)
+    src = RefMotionAE(126, 32)
+    for m in src.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    path = tmp_path / "expressive_eval_net.bin"
+    torch.save({"pose_dim": 126, "latent_dim": 32,
+                "motion_ae": src.state_dict()}, str(path))
+
+    theirs = ese_mod.EmbeddingSpaceEvaluator(args, str(path), None, 100,
+                                             "cpu")
+    theirs.net.train(False)
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_motion_ae(dict(src.state_dict())))
+    net = OurMotionAE(pose_dim=126, latent_dim=32)
+    ours = OurESE(make_expressive_feature_fn(net, variables))
+
+    r = np.random.default_rng(14)
+    for _ in range(3):
+        gen = (r.standard_normal((16, 34, 126)) * 0.1).astype(np.float32)
+        real = (r.standard_normal((16, 34, 126)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            theirs.push_samples(None, None, torch.from_numpy(gen),
+                                torch.from_numpy(real))
+        ours.push_samples(jnp.asarray(gen), jnp.asarray(real))
+
+    fd_t, feat_t = theirs.get_scores()
+    fd_j, feat_j = ours.get_scores()
+    np.testing.assert_allclose(fd_j, fd_t, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(feat_j, feat_t, rtol=1e-4)
