@@ -989,3 +989,151 @@ def test_embedding_space_evaluator_expressive_parity(ref, tmp_path):
     fd_j, feat_j = ours.get_scores()
     np.testing.assert_allclose(fd_j, fd_t, rtol=1e-3, atol=1e-6)
     np.testing.assert_allclose(feat_j, feat_t, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# hierarchy (HA2G) loss-step parity
+# ---------------------------------------------------------------------------
+
+def test_train_iter_hierarchy_step_parity(ref, monkeypatch):
+    """train_eval/train_hierarchy.py:71-293 — the 3-stage TED cascade with
+    shared ResNetSE audio encoder, contrastive text/audio alignment and the
+    physical angle prior — driven by the reference's own modules vs
+    train/hierarchy.py. Covers one warmup step (epoch 0) and one full GAN
+    step (epoch 11 > loss_warmup 10), i.e. value parity through the first
+    Adam updates of all five reference optimizers (our single Adam over the
+    combined tree is per-parameter identical)."""
+    torch = ref.torch
+    _patch_gaussians(monkeypatch, torch)
+    _patch_permutations(monkeypatch, torch)
+    _patch_flax_dropout(monkeypatch)
+
+    import importlib
+    hn = importlib.import_module("model.hierarchy_net")
+    rse_mod = importlib.import_module("model.ResNetSE34V2")
+    blocks_mod = importlib.import_module("model.ResNetBlocks")
+    from train_eval.train_hierarchy import train_iter_hierarchy
+    from hop_tpu.eval.torch_import_generator import (
+        convert_hierarchical_generator, convert_conv_discriminator,
+        convert_resnet_se, convert_text_encoder_tcn)
+    from hop_tpu.models import hierarchy as H
+    from hop_tpu.models.resnet_se import ResNetSE
+    from hop_tpu.train.hierarchy import make_hierarchy_train_steps
+    from hop_tpu import geometry
+
+    cfg = ted_config()
+    cfg = cfg.replace(loss=dataclasses.replace(
+        cfg.loss, contrastive_pos_weight=0.1, contrastive_neg_weight=0.05,
+        physical_weight=0.01))
+    skel = cfg.data.skeleton
+    n_words, B = 50, 2
+    lr, betas = cfg.train.learning_rate, cfg.train.betas
+
+    targs = argparse.Namespace(
+        n_pre_poses=4, n_poses=34, input_context="both", hidden_size=300,
+        n_layers=4, dropout_prob=0.3, freeze_wordembed=False,
+        z_type="speaker", loss_warmup=10,
+        loss_regression_weight=cfg.loss.regression_weight,
+        loss_gan_weight=cfg.loss.gan_weight,
+        loss_kld_weight=cfg.loss.kld_weight,
+        loss_reg_weight=cfg.loss.reg_weight,
+        loss_contrastive_pos_weight=cfg.loss.contrastive_pos_weight,
+        loss_contrastive_neg_weight=cfg.loss.contrastive_neg_weight,
+        loss_physical_weight=cfg.loss.physical_weight,
+        # train_hierarchy.py:247 squeezes dim 1: (pose_dim, 1) layout
+        mean_dir_vec=np.asarray(skel.mean_dir_vec,
+                                dtype=np.float32).reshape(-1, 1))
+
+    torch.manual_seed(17)
+    spk = ref.vocab.Vocab("spk")
+    for i in range(N_SPEAKERS - spk.n_words):
+        spk.index_word(f"s{i}")
+
+    bones = H.stage_bones("TED")
+    gens_t = [hn.Hierarchical_PoseGenerator(
+        targs, pose_dim=len(bn) * 3, n_words=n_words, word_embed_size=300,
+        word_embeddings=None, z_obj=spk).float() for bn in bones]
+    dis_t = hn.Hierarchical_ConvDiscriminator(27).float()
+    rse_t = rse_mod.ResNetSE(
+        targs, blocks_mod.SEBasicBlock, [3, 4, 6, 3], [32, 64, 128, 256],
+        nOut=32, z_obj=spk, pose_level=3, n_mels=128).float()
+    text_t = hn.TextEncoderTCN(targs, n_words, 300, None).float()
+
+    class _Wav(torch.nn.Module):
+        """Hierarchical_WavEncoder.forward (hierarchy_net.py:16-19): the
+        wrapper only unsqueezes the mel channel before ResNetSE."""
+        def __init__(self, net):
+            super().__init__()
+            self.net = net
+
+        def forward(self, spec, vids):
+            return self.net(spec.unsqueeze(1), vids)
+
+    audio_t = _Wav(rse_t)
+    for m in gens_t + [dis_t, audio_t, text_t]:
+        m.train()
+        _zero_dropout(torch, m)
+
+    opts = [torch.optim.Adam(g.parameters(), lr=lr, betas=betas)
+            for g in gens_t]
+    dis_opt = torch.optim.Adam(
+        dis_t.parameters(), lr=lr * cfg.train.dis_lr_scale, betas=betas)
+    audio_opt = torch.optim.Adam(audio_t.parameters(), lr=lr, betas=betas)
+    text_opt = torch.optim.Adam(text_t.parameters(), lr=lr, betas=betas)
+
+    # ours, weights converted from the live modules
+    stages = [H.HierarchicalPoseGenerator(
+        pose_dim=len(bn) * 3, n_words=n_words, n_speakers=N_SPEAKERS)
+        for bn in bones]
+    disc_j = H.HierarchicalConvDiscriminator()
+    audio_j = ResNetSE(n_speakers=N_SPEAKERS, pose_level=3)
+    text_j = H.HierarchicalTextEncoder(n_words=n_words)
+
+    gen_params, gen_stats = {}, {}
+    rv = convert_resnet_se(rse_t.state_dict())
+    gen_params["audio"] = rv["params"]
+    gen_stats["audio"] = rv.get("batch_stats", {})
+    gen_params["text"] = {
+        "TextEncoderTCN_0": convert_text_encoder_tcn(text_t.state_dict(),
+                                                     "")}
+    gen_stats["text"] = {}
+    for k, g in enumerate(gens_t):
+        gv = convert_hierarchical_generator(g.state_dict())
+        gen_params[f"g{k + 1}"] = gv["params"]
+        gen_stats[f"g{k + 1}"] = gv.get("batch_stats", {})
+
+    warmup_step, gan_step, init_state = make_hierarchy_train_steps(
+        cfg, stages, disc_j, audio_j, text_j)
+    state = init_state({"params": gen_params, "batch_stats": gen_stats},
+                       convert_conv_discriminator(dis_t.state_dict()))
+
+    r = np.random.default_rng(18)
+    T = geometry.calc_spectrogram_length_from_motion_length(34, 15)
+    spec = r.standard_normal((B, 128, T)).astype(np.float32)
+    text = r.integers(0, n_words, (B, 34)).astype(np.int64)
+    target = (r.standard_normal((B, 34, 27)) * 0.1).astype(np.float32)
+    vids = (np.arange(B) % N_SPEAKERS).astype(np.int64)
+    batch = {"spectrogram": jnp.asarray(spec),
+             "text_padded": jnp.asarray(text),
+             "target_vec": jnp.asarray(target),
+             "vid_indices": jnp.asarray(vids)}
+
+    def ref_step(epoch):
+        return train_iter_hierarchy(
+            targs, epoch, torch.from_numpy(text), torch.from_numpy(spec),
+            torch.from_numpy(target), torch.from_numpy(vids),
+            gens_t[0], gens_t[1], gens_t[2], dis_t, audio_t, text_t,
+            opts[0], opts[1], opts[2], dis_opt, audio_opt, text_opt)
+
+    # step 1: warmup (epoch 0 <= loss_warmup)
+    ret = ref_step(0)
+    state, metrics = warmup_step(state, batch, jax.random.PRNGKey(1))
+    assert set(ret) == {"loss", "KLD", "DIV_REG", "c_pos", "c_neg", "phy"}
+    _assert_metrics_match(metrics, ret, rel=2e-3)
+
+    # step 2: full GAN step (epoch 11 > 10) through both Adam updates
+    ret = ref_step(11)
+    state, metrics = gan_step(state, batch, jax.random.PRNGKey(2))
+    assert set(ret) == {"loss", "KLD", "DIV_REG", "gen", "dis",
+                        "c_pos", "c_neg", "phy"}
+    _assert_metrics_match(metrics, ret, rel=2e-2)
