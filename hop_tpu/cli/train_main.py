@@ -250,7 +250,9 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
             for k, (stage, bn) in enumerate(zip(stages, bones)):
                 tk = H.slice_target(batch["target_vec"], bn)
                 pre = H.route_pre_seq(tk, prev, bn, prev_bones,
-                                      cfg.data.n_pre_poses)
+                                      cfg.data.n_pre_poses,
+                                      tail_bones=H.routing_tail(
+                                          cfg.data.dataset))
                 rng, rk = jax.random.split(rng)
                 out, *_ = stage.apply(
                     {"params": state.gen_params[f"g{k+1}"],

@@ -54,6 +54,12 @@ def stage_bones(dataset: str) -> tuple:
     return TED_STAGE_BONES if dataset == "TED" else EXPRESSIVE_STAGE_BONES
 
 
+def routing_tail(dataset: str) -> int:
+    """Trailing face-bone block routed via the reference's off-by-one
+    ``-5*3:`` column write (expressive only); see route_pre_seq."""
+    return 0 if dataset == "TED" else 5
+
+
 def bone_slice_indices(bones: Sequence[int]) -> np.ndarray:
     """Flattened dir-vec channel indices for a bone subset."""
     return np.concatenate([np.arange(b * 3, b * 3 + 3) for b in bones])
@@ -65,22 +71,40 @@ def slice_target(target: jnp.ndarray, bones: Sequence[int]) -> jnp.ndarray:
 
 def route_pre_seq(target_k: jnp.ndarray, prev_out: Optional[jnp.ndarray],
                   bones_k: Sequence[int], bones_prev: Optional[Sequence[int]],
-                  n_pre_poses: int) -> jnp.ndarray:
+                  n_pre_poses: int, tail_bones: int = 0) -> jnp.ndarray:
     """Build stage-k seed: target seed frames + indicator bit, then overwrite
-    frames >= n_pre with the previous stage's output for shared bones."""
+    frames >= n_pre with the previous stage's output for shared bones.
+
+    tail_bones reproduces the reference's expressive routing EXACTLY: every
+    expressive stage transition ends with
+    ``pre_seq_k[:, n_pre:, -5*3:] = out_prev[:, n_pre:, -5*3:]``
+    (train_hierarchy_expressive.py:163-165,176,190,211) — but pre_seq has
+    D+1 channels (the indicator bit), so the destination block is shifted
+    one channel late: the first face-bone x channel keeps its zero, the
+    remaining 14 slide over by one, and the indicator column receives the
+    last face bone's z. tail_bones=5 replicates that quirk (the published
+    expressive checkpoints were trained with it); tail_bones=0 gives the
+    bone-aligned routing (all of TED's hand-written pairs are aligned,
+    train_hierarchy.py:100-170)."""
     B, T, D = target_k.shape
     pre = jnp.zeros((B, T, D + 1), target_k.dtype)
     pre = pre.at[:, :n_pre_poses, :D].set(target_k[:, :n_pre_poses])
     pre = pre.at[:, :n_pre_poses, D].set(1.0)
     if prev_out is not None:
         pos_k = {b: i for i, b in enumerate(bones_k)}
+        aligned_prev = (bones_prev[:-tail_bones] if tail_bones
+                        else bones_prev)
         dst, src = [], []
-        for j, b in enumerate(bones_prev):
+        for j, b in enumerate(aligned_prev):
             i = pos_k[b]
             dst.extend(range(i * 3, i * 3 + 3))
             src.extend(range(j * 3, j * 3 + 3))
         pre = pre.at[:, n_pre_poses:, jnp.asarray(dst)].set(
             prev_out[:, n_pre_poses:, jnp.asarray(src)])
+        if tail_bones:
+            w = tail_bones * 3
+            pre = pre.at[:, n_pre_poses:, D + 1 - w:].set(
+                prev_out[:, n_pre_poses:, prev_out.shape[-1] - w:])
     return pre
 
 

@@ -117,7 +117,8 @@ def make_hierarchy_train_steps(cfg: Config, stages, discriminator,
         for k in range(n_stages):
             tk = H.slice_target(target, bones[k])
             pre = H.route_pre_seq(tk, prev_out, bones[k], prev_bones,
-                                  cfg.data.n_pre_poses)
+                                  cfg.data.n_pre_poses,
+                                  tail_bones=H.routing_tail(dataset))
             rng, rk, rd = jax.random.split(rng, 3)
             key = f"g{k + 1}"
             (out, z, mu, logvar), upd = stages[k].apply(

@@ -24,7 +24,8 @@ def test_expressive_routing_matches_reference_slices(rng):
     t5 = np.asarray(H.slice_target(jnp.asarray(target), bones5))
     out4 = rng.normal(size=(2, 34, len(bones4) * 3)).astype(np.float32)
     pre = np.asarray(H.route_pre_seq(jnp.asarray(t5), jnp.asarray(out4),
-                                     bones5, bones4, 4))
+                                     bones5, bones4, 4,
+                                     tail_bones=H.routing_tail("expressive")))
     # reference slice pairs (dst in stage-5 coords, src in stage-4 coords)
     pairs = [(slice(0, 18), slice(0, 18)),
              (slice(21, 24), slice(18, 21)),
@@ -36,13 +37,18 @@ def test_expressive_routing_matches_reference_slices(rng):
              (slice(63, 66), slice(42, 45)),
              (slice(69, 72), slice(45, 48)),
              (slice(75, 78), slice(48, 51)),
-             # face bones 37-41: L5 positions 27..31, L4 positions 17..21
-             (slice(81, 96), slice(51, 66))]
+             # face bones 37-41: the reference writes pre_seq_5[:, 4:, -15:]
+             # (train_hierarchy_expressive.py:197-198) — on the 97-channel
+             # seed (96 dirs + indicator) that is columns 82..96, one late
+             # relative to the bone-aligned 81..95
+             (slice(82, 97), slice(51, 66))]
     for dst, src in pairs:
         np.testing.assert_allclose(pre[:, 4:, dst], out4[:, 4:, src],
                                    err_msg=str((dst, src)))
-    # stage-5-only bones (e.g. global bone 6 at position 6) stay zero
+    # stage-5-only bones (e.g. global bone 6 at position 6) stay zero,
+    # as does the first face-bone x channel the shifted write skips
     assert np.all(pre[:, 4:, 18:21] == 0)
+    assert np.all(pre[:, 4:, 81] == 0)
 
 
 @pytest.mark.slow

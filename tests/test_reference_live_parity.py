@@ -1137,3 +1137,325 @@ def test_train_iter_hierarchy_step_parity(ref, monkeypatch):
     assert set(ret) == {"loss", "KLD", "DIV_REG", "gen", "dis",
                         "c_pos", "c_neg", "phy"}
     _assert_metrics_match(metrics, ret, rel=2e-2)
+
+
+def test_train_iter_hierarchy_expressive_step_parity(ref, monkeypatch):
+    """train_eval/train_hierarchy_expressive.py:124-484 — the 6-stage
+    expressive cascade with its explicit per-joint slice routing, 41-pair
+    physical prior incl. palm cross-product pseudo-bones, and contrastive
+    alignment — driven by the reference's own modules vs train/hierarchy.py
+    (dataset='expressive'). Small widths (hidden 64, 2 layers, ResNetSE
+    (1,1,1,1)) keep the CPU step tractable; the routing tables, loss
+    structure and constants are what this pins."""
+    torch = ref.torch
+    _patch_gaussians(monkeypatch, torch)
+    _patch_permutations(monkeypatch, torch)
+    _patch_flax_dropout(monkeypatch)
+
+    import importlib
+    hn = importlib.import_module("model.hierarchy_net")
+    rse_mod = importlib.import_module("model.ResNetSE34V2")
+    blocks_mod = importlib.import_module("model.ResNetBlocks")
+    from train_eval.train_hierarchy_expressive import (
+        train_iter_hierarchy_expressive)
+    from hop_tpu.config import expressive_config
+    from hop_tpu.eval.torch_import_generator import (
+        convert_hierarchical_generator, convert_conv_discriminator,
+        convert_resnet_se, convert_text_encoder_tcn)
+    from hop_tpu.models import hierarchy as H
+    from hop_tpu.models.resnet_se import ResNetSE
+    from hop_tpu.train.hierarchy import make_hierarchy_train_steps
+    from hop_tpu import geometry
+
+    hidden, n_layers, rse_layers = 64, 2, (1, 1, 1, 1)
+    cfg = expressive_config()
+    cfg = cfg.replace(loss=dataclasses.replace(
+        cfg.loss, contrastive_pos_weight=0.1, contrastive_neg_weight=0.05,
+        physical_weight=0.01))
+    skel = cfg.data.skeleton
+    n_words, B = 50, 2
+    lr, betas = cfg.train.learning_rate, cfg.train.betas
+
+    targs = argparse.Namespace(
+        n_pre_poses=4, n_poses=34, input_context="both",
+        hidden_size=hidden, n_layers=n_layers, dropout_prob=0.3,
+        freeze_wordembed=False, z_type="speaker", loss_warmup=10,
+        loss_regression_weight=cfg.loss.regression_weight,
+        loss_gan_weight=cfg.loss.gan_weight,
+        loss_kld_weight=cfg.loss.kld_weight,
+        loss_reg_weight=cfg.loss.reg_weight,
+        loss_contrastive_pos_weight=cfg.loss.contrastive_pos_weight,
+        loss_contrastive_neg_weight=cfg.loss.contrastive_neg_weight,
+        loss_physical_weight=cfg.loss.physical_weight,
+        mean_dir_vec=np.asarray(skel.mean_dir_vec,
+                                dtype=np.float32).reshape(-1, 1))
+
+    torch.manual_seed(19)
+    spk = ref.vocab.Vocab("spk")
+    for i in range(N_SPEAKERS - spk.n_words):
+        spk.index_word(f"s{i}")
+
+    bones = H.stage_bones("expressive")
+    assert len(bones) == 6
+    gens_t = [hn.Hierarchical_PoseGenerator(
+        targs, pose_dim=len(bn) * 3, n_words=n_words, word_embed_size=300,
+        word_embeddings=None, z_obj=spk).float() for bn in bones]
+    dis_t = hn.Hierarchical_ConvDiscriminator(126).float()
+    rse_t = rse_mod.ResNetSE(
+        targs, blocks_mod.SEBasicBlock, list(rse_layers),
+        [32, 64, 128, 256], nOut=32, z_obj=spk, pose_level=6,
+        n_mels=128).float()
+    text_t = hn.TextEncoderTCN(targs, n_words, 300, None).float()
+
+    class _Wav(torch.nn.Module):
+        def __init__(self, net):
+            super().__init__()
+            self.net = net
+
+        def forward(self, spec, vids):
+            return self.net(spec.unsqueeze(1), vids)
+
+    audio_t = _Wav(rse_t)
+    for m in gens_t + [dis_t, audio_t, text_t]:
+        m.train()
+        _zero_dropout(torch, m)
+
+    opts = [torch.optim.Adam(g.parameters(), lr=lr, betas=betas)
+            for g in gens_t]
+    dis_opt = torch.optim.Adam(
+        dis_t.parameters(), lr=lr * cfg.train.dis_lr_scale, betas=betas)
+    audio_opt = torch.optim.Adam(audio_t.parameters(), lr=lr, betas=betas)
+    text_opt = torch.optim.Adam(text_t.parameters(), lr=lr, betas=betas)
+
+    stages = [H.HierarchicalPoseGenerator(
+        pose_dim=len(bn) * 3, n_words=n_words, n_speakers=N_SPEAKERS,
+        hidden_size=hidden, n_layers=n_layers) for bn in bones]
+    disc_j = H.HierarchicalConvDiscriminator()
+    audio_j = ResNetSE(n_speakers=N_SPEAKERS, pose_level=6,
+                       layers=rse_layers)
+    text_j = H.HierarchicalTextEncoder(n_words=n_words, hidden_size=hidden,
+                                       n_layers=n_layers)
+
+    gen_params, gen_stats = {}, {}
+    rv = convert_resnet_se(rse_t.state_dict(), layers=rse_layers)
+    gen_params["audio"] = rv["params"]
+    gen_stats["audio"] = rv.get("batch_stats", {})
+    gen_params["text"] = {
+        "TextEncoderTCN_0": convert_text_encoder_tcn(
+            text_t.state_dict(), "", n_levels=n_layers)}
+    gen_stats["text"] = {}
+    for k, g in enumerate(gens_t):
+        gv = convert_hierarchical_generator(g.state_dict(),
+                                            n_layers=n_layers,
+                                            tcn_levels=n_layers)
+        gen_params[f"g{k + 1}"] = gv["params"]
+        gen_stats[f"g{k + 1}"] = gv.get("batch_stats", {})
+
+    warmup_step, gan_step, init_state = make_hierarchy_train_steps(
+        cfg, stages, disc_j, audio_j, text_j)
+    state = init_state({"params": gen_params, "batch_stats": gen_stats},
+                       convert_conv_discriminator(dis_t.state_dict()))
+
+    r = np.random.default_rng(20)
+    T = geometry.calc_spectrogram_length_from_motion_length(34, 15)
+    spec = r.standard_normal((B, 128, T)).astype(np.float32)
+    text = r.integers(0, n_words, (B, 34)).astype(np.int64)
+    target = (r.standard_normal((B, 34, 126)) * 0.1).astype(np.float32)
+    vids = (np.arange(B) % N_SPEAKERS).astype(np.int64)
+    batch = {"spectrogram": jnp.asarray(spec),
+             "text_padded": jnp.asarray(text),
+             "target_vec": jnp.asarray(target),
+             "vid_indices": jnp.asarray(vids)}
+
+    def ref_step(epoch):
+        return train_iter_hierarchy_expressive(
+            targs, epoch, torch.from_numpy(text), torch.from_numpy(spec),
+            torch.from_numpy(target), torch.from_numpy(vids),
+            *gens_t, dis_t, audio_t, text_t,
+            *opts, dis_opt, audio_opt, text_opt)
+
+    ret = ref_step(0)
+    state, metrics = warmup_step(state, batch, jax.random.PRNGKey(1))
+    assert set(ret) == {"loss", "KLD", "DIV_REG", "c_pos", "c_neg", "phy"}
+    _assert_metrics_match(metrics, ret, rel=2e-3)
+
+    ret = ref_step(11)
+    state, metrics = gan_step(state, batch, jax.random.PRNGKey(2))
+    assert set(ret) == {"loss", "KLD", "DIV_REG", "gen", "dis",
+                        "c_pos", "c_neg", "phy"}
+    _assert_metrics_match(metrics, ret, rel=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# evaluate_testset parity (loss / joint MAE / FGD / BC / diversity)
+# ---------------------------------------------------------------------------
+
+def test_evaluate_testset_live_parity(ref, tmp_path, monkeypatch):
+    """Evaluate.py:50-291 driven end-to-end as the oracle: a fake generator
+    feeds IDENTICAL outputs to their loop and ours, librosa.onset_detect is
+    stubbed to return the SAME per-sample onset times our injected masks
+    encode, and the same fabricated eval net scores both sides. Pins the
+    motion-beat extraction (angle pairs, change-angle normalisation, strict
+    local-minima + threshold rule), the onset-count-weighted BC
+    accumulation, joint MAE after FK, L1, FGD and diversity."""
+    torch = ref.torch
+    import importlib
+
+    class _AvgMeter:
+        # recovered utils/average_meter API (SURVEY 2.8); harness-only —
+        # the BC math under test is entirely inside Evaluate.py
+        def __init__(self, name, fmt=":f"):
+            self.reset()
+
+        def reset(self):
+            self.val = self.avg = self.sum = self.count = 0
+
+        def update(self, val, n=1):
+            self.val = val
+            self.sum += val * n
+            self.count += n
+            self.avg = self.sum / self.count
+
+    am_mod = types.ModuleType("utils.average_meter")
+    am_mod.AverageMeter = _AvgMeter
+    monkeypatch.setitem(sys.modules, "utils.average_meter", am_mod)
+
+    acc_mod = types.ModuleType("accelerate")
+    acc_mod.Accelerator = lambda *a, **k: SimpleNamespace()
+    acc_mod.DeepSpeedPlugin = lambda *a, **k: None
+    acc_mod.DistributedDataParallelKwargs = lambda *a, **k: None
+    monkeypatch.setitem(sys.modules, "accelerate", acc_mod)
+
+    # Evaluate.py imports convert for the video path only; its own
+    # module-level convert_dir_vec_to_pose (Evaluate.py:27-48) shadows the
+    # imported one inside evaluate_testset
+    conv_mod = types.ModuleType("convert")
+    for name in ("resample_pose_seq", "convert_pose_seq_to_dir_vec",
+                 "create_video_and_save", "convert_dir_vec_to_pose",
+                 "get_words_in_time_range"):
+        setattr(conv_mod, name, lambda *a, **k: None)
+    monkeypatch.setitem(sys.modules, "convert", conv_mod)
+
+    ev_mod = importlib.import_module("Evaluate")
+    ese_mod = importlib.import_module("model.EmbeddingSpaceEvaluator")
+
+    from hop_tpu.eval import beat as beat_mod
+    from hop_tpu.eval import evaluate as our_eval
+    from hop_tpu.eval.fgd import (EmbeddingSpaceEvaluator as OurESE,
+                                  make_ted_feature_fn)
+    from hop_tpu.eval.torch_import import convert_embedding_net_pose
+    from hop_tpu.models.embedding_net import EmbeddingNet as OurEmbeddingNet
+    from hop_tpu.ops import onset as onset_ops
+
+    cfg = ted_config()
+    B, n_batches, epoch = 8, 2, 40
+
+    # shared fabricated eval net (as in the evaluator parity test)
+    eargs = SimpleNamespace(n_pre_poses=4, n_poses=34, wordembed_dim=300,
+                            pose_dim=27, datasets="TED")
+    torch.manual_seed(23)
+    src = ese_mod.EmbeddingNet(eargs, 27, 34, 100, 300, None, "pose")
+    for m in src.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    path = tmp_path / "evalnet.bin"
+    torch.save({"pose_dim": 27, "gen_dict": src.state_dict()}, str(path))
+    theirs_ese = ese_mod.EmbeddingSpaceEvaluator(eargs, str(path), None, 100,
+                                                 "cpu")
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_embedding_net_pose(dict(src.state_dict())))
+    net = OurEmbeddingNet(pose_dim=27, n_frames=34, n_words=100, mode="pose")
+    ours_ese = OurESE(make_ted_feature_fn(net, variables))
+
+    # fixed data + fixed generator outputs
+    r = np.random.default_rng(24)
+    data = []
+    outs = []
+    for _ in range(n_batches):
+        data.append({
+            "text_padded": r.integers(0, 100, (B, 34)).astype(np.int64),
+            "target_vec": (r.standard_normal((B, 34, 27)) * 0.1
+                           ).astype(np.float32),
+            "in_audio": r.standard_normal((B, 36267)).astype(np.float32),
+            "log_mel": r.standard_normal((B, 34, 128)).astype(np.float32),
+        })
+        outs.append((r.standard_normal((B, 34, 27)) * 0.1
+                     ).astype(np.float32))
+
+    # injected onsets on our detector's frame grid, identical on both sides
+    F = int(np.asarray(onset_ops.onset_detect_mask(
+        jnp.zeros((1, 36267)))).shape[1])
+    times = np.asarray(onset_ops.onset_frame_times(F))
+    onset_masks = [r.random((B, F)) < 0.05 for _ in range(n_batches)]
+    for m in onset_masks:
+        m[:, 3] = True  # every sample keeps >= 1 onset (no div-by-zero)
+    onset_by_audio = {}
+    for bi, batch in enumerate(data):
+        for b in range(B):
+            onset_by_audio[batch["in_audio"][b].tobytes()] = (
+                times[onset_masks[bi][b]])
+
+    def fake_onset_detect(y=None, sr=16000, units="time"):
+        return onset_by_audio[np.asarray(y, dtype=np.float32).tobytes()]
+
+    monkeypatch.setattr(
+        sys.modules["librosa"], "onset",
+        SimpleNamespace(onset_detect=fake_onset_detect), raising=False)
+
+    calls = {"n": 0}
+
+    def patched_mask(audio, *a, **k):
+        m = onset_masks[calls["n"] % n_batches]
+        calls["n"] += 1
+        return jnp.asarray(m)
+
+    monkeypatch.setattr(beat_mod.onset_ops, "onset_detect_mask",
+                        patched_mask)
+
+    # their side
+    class _FakeModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.i = 0
+
+        def forward(self, in_audio, log_mel, in_text, pre_seq, vids):
+            out = torch.from_numpy(outs[self.i])
+            self.i += 1
+            return out, None, None, None
+
+    loader = []
+    for batch in data:
+        t = {k: torch.from_numpy(v) for k, v in batch.items()}
+        loader.append((None, None, t["text_padded"], t["text_padded"],
+                       None, None, t["target_vec"], t["in_audio"],
+                       t["log_mel"], None, None))
+
+    monkeypatch.setattr(torch, "randperm",
+                        lambda n, **k: (torch.arange(n) + 1) % n)
+    targs = SimpleNamespace(datasets="TED")
+    t_loss, t_mae, t_fgd, t_bc, t_div = ev_mod.evaluate_testset(
+        loader, _FakeModel(), theirs_ese, epoch, None, targs)
+
+    # our side
+    out_iter = iter(outs)
+
+    def generate_fn(batch, vids, rng):
+        return jnp.asarray(next(out_iter))
+
+    class _Perm:
+        @staticmethod
+        def permutation(n):
+            return (np.arange(n) + 1) % n
+
+    batches = [{k: jnp.asarray(v) for k, v in b.items()} for b in data]
+    res = our_eval.evaluate_testset(batches, generate_fn, ours_ese, epoch,
+                                    cfg, N_SPEAKERS, jax.random.PRNGKey(0))
+    j_div = ours_ese.get_diversity_scores(rng=_Perm())
+
+    np.testing.assert_allclose(res.loss, t_loss, rtol=1e-5)
+    np.testing.assert_allclose(res.mae, t_mae, rtol=1e-4)
+    np.testing.assert_allclose(res.frechet_dist, t_fgd, rtol=1e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(res.bc, t_bc, rtol=1e-4)
+    np.testing.assert_allclose(j_div, t_div, rtol=1e-4)
