@@ -1420,13 +1420,18 @@ def test_evaluate_testset_live_parity(ref, tmp_path, monkeypatch):
             self.i = 0
 
         def forward(self, in_audio, log_mel, in_text, pre_seq, vids):
-            out = torch.from_numpy(outs[self.i])
+            # copy: Evaluate.py's MAE block mutates `outputs` IN PLACE
+            # through the shared .cpu().numpy() view (:260-261 does
+            # `out_dir_vec = outputs.cpu().numpy(); out_dir_vec += mean`);
+            # without the copy their loop would corrupt our source arrays
+            out = torch.from_numpy(outs[self.i].copy())
             self.i += 1
             return out, None, None, None
 
     loader = []
     for batch in data:
-        t = {k: torch.from_numpy(v) for k, v in batch.items()}
+        # same in-place hazard for target_vec (:265-266)
+        t = {k: torch.from_numpy(v.copy()) for k, v in batch.items()}
         loader.append((None, None, t["text_padded"], t["text_padded"],
                        None, None, t["target_vec"], t["in_audio"],
                        t["log_mel"], None, None))
