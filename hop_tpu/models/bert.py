@@ -48,6 +48,37 @@ def _row(init):
     return nn.with_partitioning(init, ("model", None))
 
 
+def einsum_attention_enabled() -> bool:
+    """Attention as direct 3D->4D einsums against reshaped (f, H, D)
+    kernel views, skipping the Dense->(B,T,H,D) bitcast boundary where
+    the trace shows Q/K/V relayout copies. MEASURED LOSER end-to-end on
+    v5e (bs256 GAN step: fused 19.3 -> 13.8 steps/s, parity 13.5 -> 13.5)
+    — denying XLA the plain 2D Dense matmuls breaks its attention
+    fusions, which cost far more than the relayouts saved. Kept as an
+    engineering record (same parameter tree as the Dense path, parity
+    tested in test_bert_parity.py); opt in with
+    HOP_TPU_BERT_EINSUM_ATTN=1."""
+    import os
+    v = os.environ.get("HOP_TPU_BERT_EINSUM_ATTN", "").strip()
+    return v not in ("", "0", "false", "off")
+
+
+class _ProjParams(nn.Module):
+    """Declares a Dense-shaped (kernel, bias) pair WITHOUT applying it, so
+    the einsum attention path can reshape the kernel to (f, H, D) views
+    while keeping the exact parameter tree of nn.Dense (converter- and
+    checkpoint-compatible)."""
+    features: int
+    kernel_init: object
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class BertSelfAttention(nn.Module):
     cfg: LLMConfig
 
@@ -57,6 +88,9 @@ class BertSelfAttention(nn.Module):
         head_dim = cfg.dim // cfg.n_heads
         dense_init = nn.initializers.normal(0.02)
         dt = _compute_dtype(cfg)
+        if einsum_attention_enabled():
+            return self._einsum_attention(x, deterministic, dt, head_dim,
+                                          dense_init)
         q = nn.Dense(cfg.dim, kernel_init=_col(dense_init), dtype=dt,
                      name="query")(x)
         k = nn.Dense(cfg.dim, kernel_init=_col(dense_init), dtype=dt,
@@ -104,6 +138,37 @@ class BertSelfAttention(nn.Module):
                              v).reshape(B, T, cfg.dim)
         out = nn.Dense(cfg.dim, kernel_init=_row(dense_init), dtype=dt,
                        name="out")(ctx)
+        return out.astype(jnp.float32)
+
+    def _einsum_attention(self, x, deterministic, dt, head_dim, dense_init):
+        """Q/K/V as btf,fhd->bhtd einsums on (f, H, D) kernel VIEWS (weight
+        reshapes are free constants), attention in (B, H, T, ...) form, and
+        the output projection contracting (H, D) directly — the activations
+        never pass a reshape/bitcast whose layout change XLA must
+        materialise. Math identical to the Dense path (test_bert_parity
+        runs both)."""
+        cfg = self.cfg
+        H, D = cfg.n_heads, head_dim
+        B, T, F = x.shape
+        xc = x.astype(dt)
+
+        def proj(name, init):
+            kernel, bias = _ProjParams(cfg.dim, init, name=name)(F)
+            k4 = kernel.reshape(F, H, D).astype(dt)
+            return (jnp.einsum("btf,fhd->bhtd", xc, k4)
+                    + bias.reshape(1, H, 1, D).astype(dt))
+
+        q = proj("query", _col(dense_init))
+        k = proj("key", _col(dense_init))
+        v = proj("value", _col(dense_init))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (D ** 0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(0.1)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dt), v)
+        kernel, bias = _ProjParams(cfg.dim, _row(dense_init), name="out")(F)
+        out = (jnp.einsum("bhtd,hdf->btf", ctx,
+                          kernel.reshape(H, D, cfg.dim).astype(dt))
+               + bias.astype(dt))
         return out.astype(jnp.float32)
 
 

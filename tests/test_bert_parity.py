@@ -58,6 +58,38 @@ def test_inputs_embeds_forward_matches_hf(hf_and_flax, rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+def test_einsum_attention_matches_hf(hf_and_flax, rng, monkeypatch):
+    """The TPU-default einsum attention formulation (kernel reshaped to
+    (f, H, D) views, no activation relayouts) is the same math as the
+    Dense path: same param tree, HF parity, and an identical dropout RNG
+    stream (both paths draw one Dropout_0 over (B, H, T, T) probs)."""
+    cfg, hf, flax_bert, params = hf_and_flax
+    embeds = rng.normal(size=(2, 34, cfg.dim)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(inputs_embeds=torch.from_numpy(embeds)
+                  ).last_hidden_state.numpy()
+
+    monkeypatch.setenv("HOP_TPU_BERT_EINSUM_ATTN", "1")
+    got = flax_bert.apply({"params": params}, jnp.asarray(embeds),
+                          deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    # train-mode forwards agree between the two formulations with the
+    # same dropout key -> the RNG stream (module path + draw order) is
+    # unchanged, so parity/fused training is bitwise-insensitive to the
+    # flag at the RNG level.
+    key = jax.random.PRNGKey(7)
+    got_train = flax_bert.apply({"params": params}, jnp.asarray(embeds),
+                                deterministic=False,
+                                rngs={"dropout": key})
+    monkeypatch.setenv("HOP_TPU_BERT_EINSUM_ATTN", "0")
+    want_train = flax_bert.apply({"params": params}, jnp.asarray(embeds),
+                                 deterministic=False,
+                                 rngs={"dropout": key})
+    np.testing.assert_allclose(np.asarray(got_train), np.asarray(want_train),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_embed_tokens_is_word_table(hf_and_flax, rng):
     cfg, hf, flax_bert, params = hf_and_flax
     ids = rng.integers(0, cfg.vocab_size, size=(3, 5))
