@@ -80,7 +80,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="train HOP with the reference's exact 3-forward "
                         "sequential D/G step instead of the default fused "
                         "step (same quality across seeds, "
-                        "benchmarks/FUSED_MULTISEED.json; fused is ~40% "
+                        "benchmarks/FUSED_MULTISEED.json; fused is ~40%% "
                         "faster)")
     p.add_argument("--no-zero2", action="store_true",
                    help="keep optimizer moments replicated instead of the "

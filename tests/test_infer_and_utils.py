@@ -135,3 +135,20 @@ def test_checkpoint_roundtrip(tmp_path):
     assert mgr.record_best("frechet", 2.0, 0)
     assert not mgr.record_best("frechet", 3.0, 1)
     assert mgr.record_best("frechet", 1.0, 2)
+
+
+def test_cli_help_renders():
+    """argparse expands help text with %-formatting at --help time, so a
+    bare % in any help string crashes the CLI (regression: '~40% faster'
+    in --parity-step parsed as a '% f' float spec). Render every
+    entry-point parser's help in-process."""
+    import pytest as _pytest
+    from hop_tpu.cli import (run_ted, run_expressive, test_checkpoint,
+                             train_h36m_ae, export_model)
+    from hop_tpu.data import import_ted
+    from hop_tpu.eval import torch_export_hop
+    for mod in (run_ted, run_expressive, test_checkpoint, train_h36m_ae,
+                export_model, import_ted, torch_export_hop):
+        with _pytest.raises(SystemExit) as exc:
+            mod.main(["--help"])
+        assert exc.value.code == 0, mod.__name__
