@@ -125,6 +125,10 @@ class DataPreprocessor:
             len(videos) * self.cfg.truncate_videos_frac
         n_videos = 0
         for vid, clips in videos:
+            # Same loop shape as the reference (data_preprocessor.py:50-57):
+            # process the video's clips, THEN count and check — the video
+            # that crosses the limit is still fully processed. Pinned for
+            # every count 1..20 in tests/test_data_pipeline.py.
             for clip in clips:
                 self._sample_from_clip(clip)
             n_videos += 1

@@ -49,7 +49,15 @@ def _pallas_gru_enabled():
                       (benchmarks/bench_gru_kernels.py).
       interpret / interpret-fused   CPU tests of the pallas branches
 
-    CPU always uses the scan unless an interpret mode is forced."""
+    CPU always uses the scan unless an interpret mode is forced.
+
+    Hardware note: the fused (v3) kernel raises its per-call scoped-VMEM
+    cap to 64 MB (pallas_gru_fused.py compiler_params) because XLA keeps
+    the weight operands VMEM-resident across the call — sized for v5e's
+    128 MB VMEM/core. On older generations with 16-32 MB VMEM the v3
+    kernel may fail to compile at wide input shapes (e.g. the I=992 HOP
+    head); set HOP_TPU_PALLAS_GRU=1 (v2 time-grid, 16 MB footprint) or
+    =0 (scan) there."""
     flag = os.environ.get("HOP_TPU_PALLAS_GRU", "fused")
     if flag == "0":
         return False

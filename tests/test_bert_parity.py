@@ -59,10 +59,11 @@ def test_inputs_embeds_forward_matches_hf(hf_and_flax, rng):
 
 
 def test_einsum_attention_matches_hf(hf_and_flax, rng, monkeypatch):
-    """The TPU-default einsum attention formulation (kernel reshaped to
-    (f, H, D) views, no activation relayouts) is the same math as the
-    Dense path: same param tree, HF parity, and an identical dropout RNG
-    stream (both paths draw one Dropout_0 over (B, H, T, T) probs)."""
+    """The opt-in einsum attention formulation (HOP_TPU_BERT_EINSUM_ATTN=1,
+    default OFF — a measured end-to-end loser, kept as an engineering
+    record) is the same math as the Dense path: same param tree, HF
+    parity, and an identical dropout RNG stream (both paths draw one
+    Dropout_0 over (B, H, T, T) probs)."""
     cfg, hf, flax_bert, params = hf_and_flax
     embeds = rng.normal(size=(2, 34, cfg.dim)).astype(np.float32)
     with torch.no_grad():

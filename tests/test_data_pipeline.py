@@ -146,3 +146,38 @@ def test_truncate_videos_frac_process_then_check(tmp_path):
     n = pre.run(videos)
     assert n == sum(per_video[:6])
     assert n < sum(per_video)
+
+
+def test_truncation_loop_matches_reference_for_all_counts(tmp_path,
+                                                          monkeypatch):
+    """Exhaustive pin of run()'s truncation control flow against the
+    reference's loop (data_preprocessor.py:55-57: process the video,
+    `n_data += 1`, `if n_data > self.n_videos * 0.5: break`) for every
+    video count 1..20 — the crossing video IS processed in both, odd and
+    even counts alike. The clip bodies are shimmed out so only the loop
+    shape is under test."""
+    import dataclasses
+    cfg = ted_config()
+
+    processed = []
+    monkeypatch.setattr(DataPreprocessor, "_sample_from_clip",
+                        lambda self, clip: processed.append(clip))
+    for n_videos in range(1, 21):
+        videos = [(f"v{i}", [f"clip{i}"]) for i in range(n_videos)]
+
+        # the reference's loop, literally (data_preprocessor.py:45-57)
+        ref_order = []
+        n_data = 0
+        for vid, clips in videos:
+            for clip in clips:
+                ref_order.append(clip)
+            n_data += 1
+            if n_data > n_videos * 0.5:
+                break
+
+        processed.clear()
+        data_cfg = dataclasses.replace(cfg.data, truncate_videos_frac=0.5)
+        pre = DataPreprocessor(data_cfg, str(tmp_path / f"t{n_videos}"),
+                               disable_filtering=True)
+        pre.run(videos)
+        assert processed == ref_order, n_videos
