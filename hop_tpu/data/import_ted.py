@@ -20,7 +20,13 @@ Two source kinds:
 
 Usage:
   python -m hop_tpu.data.import_ted --src data/ted_dataset/lmdb_train \
-      --out /data/records/train --dataset TED [--src-kind cache]
+      --out /data/records/train --dataset TED [--src-kind cache] [--verify]
+
+``--verify`` turns the import into a self-activating golden test of our
+DSP/geometry constants against the librosa outputs embedded in the
+artifact (every source clip's ``audio_feat`` is librosa's
+extract_melspectrogram; every cache sample's ``vec_seq`` is the
+normalized mean-centred dir-vec) — librosa itself is not needed.
 """
 
 from __future__ import annotations
@@ -60,8 +66,108 @@ def iter_source_videos(src_path: str, fmt: str = "auto"):
         yield video["vid"], clips
 
 
+class VerifyReport:
+    """Running deviation stats for --verify (see `verify_clip_mel` /
+    `verify_sample_dir_vec`). Real reference artifacts embed librosa
+    outputs — every source clip carries an `audio_feat` spectrogram
+    produced by librosa (data_preprocessor.py:111-133 slices it;
+    data_utils.py:34-38 computes it) and every cache sample carries a
+    librosa/sklearn-derived `vec_seq` — so the first import of real data
+    doubles as an independent golden test of our mel filterbank / DFT /
+    power_to_db constants (ops/mel.py) and dir-vec geometry."""
+
+    def __init__(self, mel_tol_db: float, vec_tol: float):
+        self.mel_tol_db = mel_tol_db
+        self.vec_tol = vec_tol
+        self.mel_max_abs = 0.0
+        self.mel_mean_abs = 0.0
+        self.n_clips = 0
+        self.vec_max_abs = 0.0
+        self.n_samples = 0
+
+    def check_mel(self, got: np.ndarray, want: np.ndarray, where: str):
+        if got.shape != want.shape:
+            raise ValueError(
+                f"--verify {where}: recomputed spectrogram shape "
+                f"{got.shape} != stored {want.shape} — n_fft/hop/mel-bin "
+                "constants disagree with the artifact")
+        dev = np.abs(got.astype(np.float64) - want.astype(np.float64))
+        self.mel_max_abs = max(self.mel_max_abs, float(dev.max()))
+        self.mel_mean_abs += float(dev.mean())
+        self.n_clips += 1
+        if dev.max() > self.mel_tol_db:
+            raise ValueError(
+                f"--verify {where}: recomputed log-mel deviates "
+                f"{dev.max():.4f} dB from the artifact's librosa "
+                f"spectrogram (tol {self.mel_tol_db}); worst bin at "
+                f"{np.unravel_index(int(dev.argmax()), dev.shape)}")
+
+    def check_vec(self, got: np.ndarray, want: np.ndarray, where: str):
+        dev = np.abs(got.astype(np.float64) - want.astype(np.float64))
+        self.vec_max_abs = max(self.vec_max_abs, float(dev.max()))
+        self.n_samples += 1
+        if dev.max() > self.vec_tol:
+            raise ValueError(
+                f"--verify {where}: recomputed dir-vec deviates "
+                f"{dev.max():.2e} from the artifact's vec_seq "
+                f"(tol {self.vec_tol:.0e})")
+
+    def summary(self) -> str:
+        parts = []
+        if self.n_clips:
+            parts.append(
+                f"mel: {self.n_clips} clips, max|Δ| "
+                f"{self.mel_max_abs:.3e} dB, mean|Δ| "
+                f"{self.mel_mean_abs / self.n_clips:.3e} dB")
+        if self.n_samples:
+            parts.append(f"dir-vec: {self.n_samples} samples, max|Δ| "
+                         f"{self.vec_max_abs:.3e}")
+        return "verify ok — " + "; ".join(parts) if parts else \
+            "verify: nothing checked"
+
+
+def verify_clip_mel(clip, report: VerifyReport):
+    """Recompute extract_melspectrogram (ops/mel.py:145-148) from the
+    clip's raw audio and compare against the artifact's librosa-produced
+    `audio_feat` (reference data_utils.py:34-38 — stored as float16 by
+    the reference, float32 in our fixtures; the default tolerance covers
+    the f16 quantization of the [-80, 0] dB range)."""
+    import jax
+    import jax.numpy as jnp
+    from hop_tpu.ops import mel as mel_ops
+    # Precision-pinned: the artifact was produced by librosa's f32 FFT on
+    # the host; TPU default-precision matmuls do bf16 mantissa passes and
+    # the DFT's near-cancelling bins can be off by >2 dB under them.
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(mel_ops.extract_melspectrogram(
+            jnp.asarray(np.asarray(clip.audio_raw, np.float32))))
+    report.check_mel(got, np.asarray(clip.audio_spectrogram),
+                     f"clip of {clip.vid}")
+
+
+def verify_sample_dir_vec(poses: np.ndarray, vec: np.ndarray, skel,
+                          report: VerifyReport, where: str):
+    """Recompute normalized mean-centred dir-vecs from the sample's
+    pose_seq and compare against its stored vec_seq (reference
+    data_preprocessor.py:160-166)."""
+    from hop_tpu import geometry
+    got = np.asarray(geometry.convert_pose_seq_to_dir_vec(
+        np.asarray(poses, np.float32), skel), np.float32)
+    if skel.mean_dir_vec is not None:
+        got = got - skel.mean_dir_vec.reshape(-1, 3)
+    report.check_vec(got, vec, where)
+
+
+def verify_source_videos(videos, report: VerifyReport):
+    for vid, clips in videos:
+        for clip in clips:
+            verify_clip_mel(clip, report)
+        yield vid, clips
+
+
 def import_cache(src_path: str, out_path: str, data_cfg, fmt: str = "auto",
-                 strict: bool = True) -> int:
+                 strict: bool = True,
+                 verify: VerifyReport | None = None) -> int:
     """Reference preprocessed-cache LMDB -> record store, sample-for-sample
     (value layout data_preprocessor.py:168-172, consumed by
     lmdb_data_loader.py:117-124)."""
@@ -78,6 +184,9 @@ def import_cache(src_path: str, out_path: str, data_cfg, fmt: str = "auto",
             poses = np.asarray(poses, np.float32)
             vec = np.asarray(vec, np.float32).reshape(
                 poses.shape[0], skel.n_bones, 3)
+            if verify is not None:
+                verify_sample_dir_vec(poses, vec, skel, verify,
+                                      f"sample {key!r}")
             if poses.shape[0] != schema.n_frames_ext:
                 msg = (f"sample {key!r}: {poses.shape[0]} frames, schema "
                        f"expects {schema.n_frames_ext} — wrong --dataset?")
@@ -166,6 +275,14 @@ def dry_import(src_path: str, src_kind: str, data_cfg, fmt: str = "auto"):
 
 
 def main(argv=None):
+    # Honour JAX_PLATFORMS=cpu (the axon TPU plugin ignores the env var;
+    # same forcing as cli/common.py) — --verify is the only JAX user here
+    # and host-side import work should not touch the TPU tunnel.
+    import os
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     p = argparse.ArgumentParser(__doc__)
     p.add_argument("--src", required=True)
     p.add_argument("--out", default=None)
@@ -183,6 +300,21 @@ def main(argv=None):
                    help="0.5 reproduces the reference TED preprocessor's "
                         "first-half-of-videos quirk")
     p.add_argument("--disable-filtering", action="store_true")
+    p.add_argument("--verify", action="store_true",
+                   help="golden-check our DSP/geometry against the "
+                        "librosa outputs embedded in the artifact: for "
+                        "source LMDBs recompute each clip's log-mel "
+                        "spectrogram from its raw audio and compare to "
+                        "the stored audio_feat; for cache LMDBs recompute "
+                        "each sample's dir-vecs from pose_seq and compare "
+                        "to vec_seq. Fails over tolerance; adds one XLA "
+                        "compile per distinct clip length")
+    p.add_argument("--verify-tol-db", type=float, default=0.25,
+                   help="max |Δ| in dB for the --verify mel check "
+                        "(default covers the artifact's float16 "
+                        "quantization + FFT-vs-matmul-DFT rounding)")
+    p.add_argument("--verify-tol-vec", type=float, default=1e-4,
+                   help="max |Δ| for the --verify dir-vec check")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -199,14 +331,21 @@ def main(argv=None):
         return 0
     if args.out is None:
         p.error("--out is required (unless --dry-import)")
+    report = (VerifyReport(args.verify_tol_db, args.verify_tol_vec)
+              if args.verify else None)
     if args.src_kind == "cache":
         n = import_cache(args.src, args.out, data_cfg, args.format,
-                         strict=not args.disable_filtering)
+                         strict=not args.disable_filtering, verify=report)
     else:
         from hop_tpu.data.preprocessor import DataPreprocessor
         pre = DataPreprocessor(data_cfg, args.out,
                                disable_filtering=args.disable_filtering)
-        n = pre.run(iter_source_videos(args.src, args.format))
+        videos = iter_source_videos(args.src, args.format)
+        if report is not None:
+            videos = verify_source_videos(videos, report)
+        n = pre.run(videos)
+    if report is not None:
+        print(report.summary())
     logging.info("wrote %d samples to %s", n, args.out)
     print(f"imported {n} samples -> {args.out}.bin/.idx")
     return 0

