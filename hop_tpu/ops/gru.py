@@ -141,16 +141,20 @@ def _gru_layer_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
     w_hh:   (3H, H) torch layout;  b_hh: (3H,);  h0: (B, H)
     Returns (B, T, H) hidden states.
     """
+    from hop_tpu.parallel.mesh import constrain_batch
     w_hh_t = w_hh.T  # (H, 3H)
 
     def step(h, xp):
-        hp = h @ w_hh_t + b_hh
+        # in-body constraints: the recurrence is data-parallel only (see
+        # GRU.__call__) — without them the partitioner shards the gate
+        # tensors over 'model' inside the while-loop
+        hp = constrain_batch(h @ w_hh_t + b_hh)
         xr, xz, xn = jnp.split(xp, 3, axis=-1)
         hr, hz, hn = jnp.split(hp, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = constrain_batch((1.0 - z) * n + z * h)
         return h_new, h_new
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H)
@@ -175,18 +179,24 @@ def _bidir_layer_scan(x_proj_fw: jnp.ndarray, x_proj_bw: jnp.ndarray,
         jnp.broadcast_to(b_hh_fw, (x_proj_fw.shape[0], b_hh_fw.shape[0])),
         jnp.broadcast_to(b_hh_bw, (x_proj_bw.shape[0], b_hh_bw.shape[0]))])
 
+    from hop_tpu.parallel.mesh import constrain_batch
     batch = x_proj_fw.shape[0]
 
     def step(h, xp):
-        h2 = h.reshape(2, batch, -1)
-        hp = jnp.einsum("dbh,dhg->dbg", h2, w_stacked).reshape(h.shape[0], -1)
-        hp = hp + b_stacked
+        # in-body constraints: pin the (D,B,·) gate tensors to the batch
+        # axis only (axis 1 after the direction-stack reshape) — this is
+        # what stops the partitioner's involuntary-full-rematerialization
+        # collective-permutes on the dbh,dhg->dbg dots (MULTICHIP_r03)
+        h2 = constrain_batch(h.reshape(2, batch, -1), axis=1)
+        hp = constrain_batch(
+            jnp.einsum("dbh,dhg->dbg", h2, w_stacked), axis=1)
+        hp = hp.reshape(h.shape[0], -1) + b_stacked
         xr, xz, xn = jnp.split(xp, 3, axis=-1)
         hr, hz, hn = jnp.split(hp, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = constrain_batch((1.0 - z) * n + z * h)
         return h_new, h_new
 
     h0_stacked = jnp.concatenate([h0, h0], axis=0)
@@ -227,6 +237,14 @@ class GRU(nn.Module):
         h = self.hidden_size
         n_dir = 2 if self.bidirectional else 1
         init = torch_gru_uniform(1.0 / (h ** 0.5))
+
+        # Pin the recurrence to data-parallel-only layouts: under a
+        # (data, model) mesh XLA's propagation otherwise shards the scan's
+        # (D,B,H) gate tensors over 'model' and pays involuntary full
+        # rematerialization collective-permutes every step (see
+        # parallel.mesh.constrain_batch; no-op without an ambient mesh).
+        from hop_tpu.parallel.mesh import constrain_batch
+        x = constrain_batch(x)
 
         if initial_hidden is None and _pallas_gru_enabled():
             return self._pallas_forward(x, deterministic)
@@ -274,6 +292,7 @@ class GRU(nn.Module):
                 y = _gru_layer_scan(x_proj, w_hh, b_hh, h0_fw, False)
                 layer_in = y
                 last_hiddens.append(y[:, -1])
+            layer_in = constrain_batch(layer_in)
 
         return layer_in, jnp.stack(last_hiddens, axis=0)
 

@@ -1,5 +1,5 @@
 """jax.sharding mesh utilities: data/tensor-parallel placement."""
 
 from hop_tpu.parallel.mesh import (  # noqa: F401
-    create_mesh, batch_sharding, state_shardings, shard_batch,
-    shard_state, shard_opt_state, zero2_spec)
+    ambient_mesh, constrain_batch, create_mesh, batch_sharding,
+    state_shardings, shard_batch, shard_state, shard_opt_state, zero2_spec)

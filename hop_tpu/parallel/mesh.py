@@ -48,6 +48,41 @@ def create_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(grid, ("data", "model"))
 
 
+def ambient_mesh() -> Mesh | None:
+    """The mesh entered via `with mesh:` around the current trace, if any.
+
+    Model code uses this to make sharding constraints self-disabling on
+    single-device paths (tests, CPU runs) where no mesh context exists."""
+    try:
+        from jax._src import mesh as mesh_lib
+        m = mesh_lib.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
+def constrain_batch(x, axis: int = 0):
+    """with_sharding_constraint pinning `axis` to the batch mesh axes
+    ('dcn','data') and every other axis REPLICATED; no-op without an
+    ambient mesh.
+
+    Purpose: stop XLA's sharding propagation from leaking the 'model'
+    axis into recurrent heads. Without it the partitioner sharded the
+    GRU scan's (D,B,H) gate tensors over 'model' and fell back to
+    involuntary full rematerialization collective-permutes every step
+    (MULTICHIP_r03 tail; the dbh,dhg->dbg dot_generals in HOPModel.head
+    and ConvDiscriminator)."""
+    m = ambient_mesh()
+    if m is None:
+        return x
+    batch = tuple(a for a in ("dcn", "data") if a in m.axis_names)
+    if not batch:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = batch if len(batch) > 1 else batch[0]
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data' (and 'dcn' if present)."""
     if "dcn" in mesh.axis_names:
