@@ -5,6 +5,19 @@ generator with RANDOM speaker ids (Evaluate.py:167-169), L1 against targets,
 FGD features pushed per batch, joint MAE after FK, and beat consistency only
 when epoch > bc_start_epoch (the reference's `epoch > 35` gate). All metric
 math stays on device; only final scalars are pulled.
+
+Distributed eval (SURVEY §5.8, replacing Evaluate.py:260-283's
+single-device loop): when an ambient jax.sharding.Mesh is active (the
+trainer runs eval inside its `with mesh:` block), each eval batch is
+sharded over the batch mesh axes ('dcn','data'), so the generator forward,
+the metric reductions, the on-device beat-consistency pass and the FGD
+feature extraction all run data-parallel. Per-device feature blocks are
+never pulled to the host: each tiny (B, 32) block is all-gathered
+device-to-device right after extraction and the mean/cov/Fréchet math is
+one jitted program (see eval/fgd.py). A ragged tail batch
+(drop_last=False) that does not divide the mesh stays replicated — a
+one-off recompile, not a correctness fork; tests/test_parallel.py pins
+sharded eval scores == single-device scores.
 """
 
 from __future__ import annotations
@@ -62,9 +75,20 @@ def evaluate_testset(batches: Iterable[dict],
     bc_nums, bc_dens = [], []
     compute_bc = epoch > cfg.loss.bc_start_epoch
 
+    # mesh-aware: shard eval batches over ('dcn','data') when running
+    # inside the trainer's mesh context (SURVEY §5.8)
+    from hop_tpu.parallel import ambient_mesh, shard_batch
+    mesh = ambient_mesh()
+    n_shards = 1
+    if mesh is not None:
+        n_shards = int(np.prod([mesh.shape[a] for a in ("dcn", "data")
+                                if a in mesh.axis_names]))
+
     for batch in batches:
         rng, rng_vid, rng_gen = jax.random.split(rng, 3)
         B = batch["target_vec"].shape[0]
+        if n_shards > 1 and B % n_shards == 0:
+            batch = shard_batch(batch, mesh)
         vids = jax.random.randint(rng_vid, (B,), 0, n_speakers)
         outputs = generate_fn(batch, vids, rng_gen)
         target = batch["target_vec"]

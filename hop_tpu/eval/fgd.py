@@ -18,6 +18,45 @@ import numpy as np
 from hop_tpu.ops.sqrtm import frechet_distance
 
 
+def _gather_replicated(x: jnp.ndarray) -> jnp.ndarray:
+    """All-gather a batch-sharded feature block to replicated, on device.
+
+    SURVEY §5.8's distributed-eval design: the expensive feature-net
+    forward runs data-parallel over the mesh (evaluate_testset shards the
+    eval batches), then each tiny (B, 32) feature block is gathered
+    device-to-device so the downstream mean/cov/Fréchet math is identical
+    to the single-device computation — no host round-trip (the reference
+    instead accumulates features in host numpy,
+    EmbeddingSpaceEvaluator.py:438-496). Replicating here (rather than
+    concatenating mixed-sharded blocks later) also keeps the partitioner
+    out of involuntary-rematerialization fallbacks on the ragged tail
+    batch. No-op without an ambient mesh.
+    """
+    from hop_tpu.parallel import ambient_mesh
+    m = ambient_mesh()
+    if m is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.device_put(x, NamedSharding(m, PartitionSpec()))
+
+
+@jax.jit
+def _fgd_stats(gen: jnp.ndarray, real: jnp.ndarray):
+    """mean/cov/Fréchet + feature distance as ONE compiled program
+    (reference EmbeddingSpaceEvaluator.py:510-539 does this in host
+    numpy + scipy sqrtm)."""
+    mu_g, mu_r = jnp.mean(gen, axis=0), jnp.mean(real, axis=0)
+
+    # np.cov(rowvar=False) normalises by N-1
+    def cov(x, mu):
+        xc = x - mu
+        return xc.T @ xc / (x.shape[0] - 1)
+
+    fd = frechet_distance(mu_g, cov(gen, mu_g), mu_r, cov(real, mu_r))
+    feat_dist = jnp.mean(jnp.sum(jnp.abs(real - gen), axis=-1))
+    return fd, feat_dist
+
+
 class EmbeddingSpaceEvaluator:
     """Accumulates real/generated features; scores FGD + diversity."""
 
@@ -49,8 +88,8 @@ class EmbeddingSpaceEvaluator:
                      real_poses: jnp.ndarray):
         real_recon, real_feat = self._feature_fn(real_poses)
         gen_recon, gen_feat = self._feature_fn(generated_poses)
-        self._real_feats.append(real_feat)
-        self._gen_feats.append(gen_feat)
+        self._real_feats.append(_gather_replicated(real_feat))
+        self._gen_feats.append(_gather_replicated(gen_feat))
         err_real = jnp.mean(jnp.abs(real_poses - real_recon))
         err_fake = jnp.mean(jnp.abs(generated_poses - gen_recon))
         self._recon_err_diff.append(err_fake - err_real)
@@ -59,13 +98,7 @@ class EmbeddingSpaceEvaluator:
         """(frechet_dist, feat_dist) — reference :510-539."""
         gen = jnp.concatenate(self._gen_feats, axis=0)
         real = jnp.concatenate(self._real_feats, axis=0)
-        mu_g, mu_r = jnp.mean(gen, axis=0), jnp.mean(real, axis=0)
-        # np.cov(rowvar=False) normalises by N-1
-        def cov(x, mu):
-            xc = x - mu
-            return xc.T @ xc / (x.shape[0] - 1)
-        fd = frechet_distance(mu_g, cov(gen, mu_g), mu_r, cov(real, mu_r))
-        feat_dist = jnp.mean(jnp.sum(jnp.abs(real - gen), axis=-1))
+        fd, feat_dist = _fgd_stats(gen, real)
         return float(fd), float(feat_dist)
 
     def get_diversity_scores(self, rng: Optional[np.random.Generator] = None,

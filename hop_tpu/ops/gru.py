@@ -173,39 +173,39 @@ def _bidir_layer_scan(x_proj_fw: jnp.ndarray, x_proj_bw: jnp.ndarray,
     back, which is exactly a reverse-direction recurrence.
     """
     x_bw_flipped = jnp.flip(x_proj_bw, axis=1)
-    x_stacked = jnp.concatenate([x_proj_fw, x_bw_flipped], axis=0)
-    w_stacked = jnp.stack([w_hh_fw.T, w_hh_bw.T])  # (2, H, 3H)
-    b_stacked = jnp.concatenate([
-        jnp.broadcast_to(b_hh_fw, (x_proj_fw.shape[0], b_hh_fw.shape[0])),
-        jnp.broadcast_to(b_hh_bw, (x_proj_bw.shape[0], b_hh_bw.shape[0]))])
+    # every tensor in the scan keeps the explicit (D=2, B, ·) layout; a
+    # flat (2B, ·) stack would need a reshape whose natural sharding
+    # propagation ((2B)['data'] view of (2,B)) is NOT the axis-1 batch
+    # pin — the partitioner then falls back to involuntary full
+    # rematerialization collective-permutes every step (seen in sharded
+    # eval of the seq2seq encoder; same class as MULTICHIP_r03)
+    x_stacked = jnp.stack([x_proj_fw, x_bw_flipped])   # (2, B, T, 3H)
+    w_stacked = jnp.stack([w_hh_fw.T, w_hh_bw.T])      # (2, H, 3H)
+    b_stacked = jnp.stack([b_hh_fw, b_hh_bw])[:, None]  # (2, 1, 3H)
 
     from hop_tpu.parallel.mesh import constrain_batch
-    batch = x_proj_fw.shape[0]
 
     def step(h, xp):
         # in-body constraints: pin the (D,B,·) gate tensors to the batch
-        # axis only (axis 1 after the direction-stack reshape) — this is
-        # what stops the partitioner's involuntary-full-rematerialization
-        # collective-permutes on the dbh,dhg->dbg dots (MULTICHIP_r03)
-        h2 = constrain_batch(h.reshape(2, batch, -1), axis=1)
+        # axis only — this is what stops the partitioner sharding them
+        # over 'model' inside the while-loop (MULTICHIP_r03)
         hp = constrain_batch(
-            jnp.einsum("dbh,dhg->dbg", h2, w_stacked), axis=1)
-        hp = hp.reshape(h.shape[0], -1) + b_stacked
+            jnp.einsum("dbh,dhg->dbg", h, w_stacked), axis=1) + b_stacked
         xr, xz, xn = jnp.split(xp, 3, axis=-1)
         hr, hz, hn = jnp.split(hp, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
-        h_new = constrain_batch((1.0 - z) * n + z * h)
+        h_new = constrain_batch((1.0 - z) * n + z * h, axis=1)
         return h_new, h_new
 
-    h0_stacked = jnp.concatenate([h0, h0], axis=0)
-    xs = jnp.swapaxes(x_stacked, 0, 1)
+    h0_stacked = jnp.stack([h0, h0])                   # (2, B, H)
+    xs = jnp.moveaxis(x_stacked, 2, 0)                 # (T, 2, B, 3H)
     # unroll=4 amortises per-step scheduling overhead (~12% on v5e)
     _, ys = jax.lax.scan(step, h0_stacked, xs, unroll=4)
-    ys = jnp.swapaxes(ys, 0, 1)  # (2B, T, H)
-    y_fw = ys[:batch]
-    y_bw = jnp.flip(ys[batch:], axis=1)
+    ys = jnp.moveaxis(ys, 0, 2)                        # (2, B, T, H)
+    y_fw = ys[0]
+    y_bw = jnp.flip(ys[1], axis=1)
     return y_fw, y_bw
 
 

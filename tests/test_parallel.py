@@ -155,6 +155,69 @@ def test_dcn_sharded_step_matches_single_device():
 
 
 @pytest.mark.slow
+def test_sharded_eval_matches_single_device():
+    """Distributed eval (SURVEY §5.8, replacing the reference's
+    single-device Evaluate.py:260-283 loop): evaluate_testset inside a
+    mesh context shards each eval batch over 'data', the FGD feature
+    extraction runs data-parallel, and the jitted mean/cov/Fréchet
+    reduces the row-sharded features with XLA collectives. Scores must
+    equal the single-device run bit-for-reduction-order; a ragged tail
+    batch (drop_last=False) legitimately stays replicated."""
+    from hop_tpu.eval.evaluate import evaluate_testset
+    from hop_tpu.eval.fgd import EmbeddingSpaceEvaluator, make_ted_feature_fn
+    from hop_tpu.models.embedding_net import EmbeddingNet
+
+    cfg = tiny_test_config("TED")
+    sizes = (16, 16, 6)   # two mesh-divisible batches + a ragged tail
+
+    def batches():
+        for i, n in enumerate(sizes):
+            nb = synthetic.make_batch(cfg, n, seed=10 + i)
+            yield {"target_vec": jnp.asarray(nb["target_vec"]),
+                   "in_audio": jnp.asarray(nb["in_audio"])}
+
+    seen_specs = []
+
+    def gen(batch, vids, rng):
+        seen_specs.append(getattr(batch["target_vec"].sharding, "spec",
+                                  None))
+        base = jnp.roll(batch["target_vec"], 1, axis=1)
+        amp = jnp.mean(jnp.abs(batch["in_audio"]), axis=1)
+        off = (vids.astype(jnp.float32) / 100.0)[:, None, None]
+        return base * 0.9 + off + 0.01 * amp[:, None, None]
+
+    net = EmbeddingNet(pose_dim=27, n_frames=cfg.data.n_poses,
+                       n_words=50, mode="pose")
+    poses = jnp.zeros((2, cfg.data.n_poses, 27))
+    variables = net.init(jax.random.PRNGKey(0), None, None, poses[:, :4],
+                         poses, input_mode="pose")
+
+    def run():
+        evaluator = EmbeddingSpaceEvaluator(
+            make_ted_feature_fn(net, variables), trained=False)
+        return evaluate_testset(batches(), gen, evaluator,
+                                epoch=cfg.loss.bc_start_epoch + 1, cfg=cfg,
+                                n_speakers=10, rng=jax.random.PRNGKey(5))
+
+    r1 = run()                      # single device
+    seen_specs.clear()
+    mesh = create_mesh(8, 1)
+    with mesh:
+        r2 = run()
+
+    # the two full batches were actually sharded; the tail was not
+    assert seen_specs[0] == P("data") and seen_specs[1] == P("data")
+    assert seen_specs[2] != P("data")
+
+    np.testing.assert_allclose(r1.loss, r2.loss, rtol=1e-5)
+    np.testing.assert_allclose(r1.mae, r2.mae, rtol=1e-5)
+    np.testing.assert_allclose(r1.frechet_dist, r2.frechet_dist, rtol=2e-3)
+    np.testing.assert_allclose(r1.feat_dist, r2.feat_dist, rtol=1e-4)
+    np.testing.assert_allclose(r1.bc, r2.bc, rtol=1e-5)
+    np.testing.assert_allclose(r1.diversity, r2.diversity, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_zero2_opt_state_sharding_matches_single_device():
     """ZeRO-2 analog (SURVEY §2.7; the reference's DeepSpeed plugin,
     run_ted.py:110-112): Adam moments sharded over the data axis. The
