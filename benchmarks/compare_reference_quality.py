@@ -70,15 +70,18 @@ def build_fixture(workdir: str, cfg, n_videos: int, seconds: float,
     write_lmdb(lmdb_dir, items)
     rec = os.path.join(workdir, "records", "train")
     os.makedirs(os.path.dirname(rec), exist_ok=True)
-    import_ted.main(["--src", lmdb_dir, "--out", rec, "--dataset", "TED"])
+    name = "TED" if cfg.data.dataset == "TED" else "TED_expressive"
+    import_ted.main(["--src", lmdb_dir, "--out", rec, "--dataset", name])
     return rec
 
 
-def train_eval_net(rec: str, workdir: str, batch_size: int, seed: int):
-    from hop_tpu.cli import run_ted
+def train_eval_net(rec: str, workdir: str, batch_size: int, seed: int,
+                   dataset: str = "TED"):
+    from hop_tpu.cli import run_expressive, run_ted
     from hop_tpu.eval import export_eval_net
+    cli = run_ted if dataset == "TED" else run_expressive
     ck = os.path.join(workdir, "ck_ae")
-    run_ted.main(["--model", "gesture_autoencoder", "--data", rec,
+    cli.main(["--model", "gesture_autoencoder", "--data", rec,
                   "--epochs", "10", "--batch-size", str(batch_size),
                   "--checkpoint-dir", ck, "--seed", str(seed),
                   "--metrics", os.path.join(workdir, "ae.jsonl"),
@@ -147,8 +150,10 @@ def run_reference(cfg, rec: str, eval_net: str, args):
 
     ref_args = argparse.Namespace(
         d_model=128, n_heads=8, d_ff=128, dropout=0.1,
-        llm_model="BERT", llm_dim=768, datasets="TED",
-        n_poses=34, pose_dim=27, wordembed_dim=300, n_pre_poses=4,
+        llm_model="BERT", llm_dim=768,
+        datasets=("TED" if cfg.data.dataset == "TED" else "TED_expressive"),
+        n_poses=34, pose_dim=cfg.data.pose_dim,
+        wordembed_dim=300, n_pre_poses=4,
         z_type="speaker",
         loss_regression_weight=cfg.loss.regression_weight,
         loss_gan_weight=cfg.loss.gan_weight,
@@ -226,16 +231,23 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=2021)
     p.add_argument("--workdir", default=None)
     p.add_argument("--skip-reference", action="store_true")
-    p.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "REFERENCE_AB.json"))
+    p.add_argument("--dataset", default="TED", choices=("TED", "expressive"),
+                   help="expressive = run_expressive.py's config (pose_dim "
+                        "126, 42 graph nodes, MotionAE FGD feature net)")
+    p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    if args.out is None:
+        name = ("REFERENCE_AB.json" if args.dataset == "TED"
+                else "REFERENCE_AB_EXPRESSIVE.json")
+        args.out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), name)
 
     import tempfile
-    from hop_tpu.config import ted_config
+    from hop_tpu.config import expressive_config, ted_config
     workdir = args.workdir or tempfile.mkdtemp(prefix="hop_ab_")
     os.makedirs(workdir, exist_ok=True)
 
-    cfg = ted_config()
+    cfg = ted_config() if args.dataset == "TED" else expressive_config()
     cfg = cfg.replace(
         train=dataclasses.replace(cfg.train, batch_size=args.batch_size,
                                   epochs=args.epochs),
@@ -244,7 +256,8 @@ def main(argv=None):
     print(f"[1/4] fixture + import ({args.videos} videos)")
     rec = build_fixture(workdir, cfg, args.videos, args.seconds, args.seed)
     print("[2/4] train + export the FGD feature net")
-    eval_net = train_eval_net(rec, workdir, args.batch_size, args.seed)
+    eval_net = train_eval_net(rec, workdir, args.batch_size, args.seed,
+                              dataset=args.dataset)
     print("[3/4] train OURS (parity step)")
     ours = run_ours(cfg, rec, eval_net, args)
     ours["impl"] = "hop_tpu-parity"
@@ -254,6 +267,7 @@ def main(argv=None):
         results.append(run_reference(cfg, rec, eval_net, args))
 
     payload = {"metric": "reference_quality_ab",
+               "dataset": cfg.data.dataset,
                "epochs": args.epochs, "batch_size": args.batch_size,
                "fixture": {"videos": args.videos,
                            "clip_seconds": args.seconds},

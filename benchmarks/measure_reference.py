@@ -34,7 +34,8 @@ def _stub(name):
         sys.modules[name] = mod
 
 
-def build_reference_step(ref_path, batch_size, llm_layers=6, seed=0):
+def build_reference_step(ref_path, batch_size, llm_layers=6, seed=0,
+                         dataset="TED"):
     # The reference imports DSP/storage libs at module level that are not
     # in this image and are not touched by the model/step code paths we
     # time; stub them so `model.HOP` / `train_eval.train_llm` import.
@@ -63,14 +64,22 @@ def build_reference_step(ref_path, batch_size, llm_layers=6, seed=0):
     class _Speakers:
         n_words = 10
 
+    # TED: run_ted.py:84-92; expressive: run_expressive.py:81-100
+    # (pose_dim 126 -> num_nodes=42 in HOP.py:139, same audio unfold)
+    expressive = dataset != "TED"
     args = argparse.Namespace(
         d_model=128, n_heads=8, d_ff=128, dropout=0.1,
-        llm_model="BERT", llm_dim=768, datasets="TED",
-        n_poses=34, pose_dim=27, wordembed_dim=300, n_pre_poses=4,
-        z_type="speaker", loss_regression_weight=600.0, loss_gan_weight=5.0,
-        loss_kld_weight=0.6, loss_reg_weight=0.4,
+        llm_model="BERT", llm_dim=768,
+        datasets="TED_expressive" if expressive else "TED",
+        n_poses=34, pose_dim=126 if expressive else 27,
+        wordembed_dim=300, n_pre_poses=4,
+        z_type="speaker",
+        loss_regression_weight=2100.0 if expressive else 600.0,
+        loss_gan_weight=5.0,
+        loss_kld_weight=0.8 if expressive else 0.6,
+        loss_reg_weight=0.5 if expressive else 0.4,
         use_gwnet=True, use_reprograme=True, llm_layers=llm_layers,
-        learning_rate=0.01,
+        learning_rate=0.005 if expressive else 0.01,
     )
 
     from model import HOP
@@ -82,8 +91,10 @@ def build_reference_step(ref_path, batch_size, llm_layers=6, seed=0):
     discriminator = ConvDiscriminator(args.pose_dim)
     trained = [p for p in model.parameters() if p.requires_grad]
     n_params = sum(p.numel() for p in trained)
-    model_optim = torch.optim.Adam(trained, lr=0.01, betas=(0.5, 0.999))
-    dis_optimizer = torch.optim.Adam(discriminator.parameters(), lr=0.001,
+    model_optim = torch.optim.Adam(trained, lr=args.learning_rate,
+                                   betas=(0.5, 0.999))
+    dis_optimizer = torch.optim.Adam(discriminator.parameters(),
+                                     lr=args.learning_rate * 0.1,
                                      betas=(0.5, 0.999))
     accelerator = Accelerator(cpu=True)
 
@@ -92,7 +103,7 @@ def build_reference_step(ref_path, batch_size, llm_layers=6, seed=0):
     log_mel = torch.randn(batch_size, 34, 128, generator=g)
     text_tokens = torch.randint(0, cfg.vocab_size, (batch_size, 34),
                                 generator=g)
-    target = torch.randn(batch_size, 34, 27, generator=g) * 0.1
+    target = torch.randn(batch_size, 34, args.pose_dim, generator=g) * 0.1
     vids = torch.randint(0, 10, (batch_size,), generator=g)
 
     def step(epoch=12):  # epoch > 10: full GAN-phase step
@@ -117,10 +128,17 @@ def main():
                    help="count matmul/conv FLOPs of one full train step "
                         "with torch.utils.flop_counter instead of timing; "
                         "used to derive the GPU speed-of-light baseline")
+    p.add_argument("--dataset", default="TED",
+                   choices=("TED", "expressive"),
+                   help="expressive = run_expressive.py's config (pose_dim "
+                        "126, num_nodes 42, lr 0.005, weights 2100/5/0.8/"
+                        "0.5); entries land under *_expressive_bs{N} keys")
     a = p.parse_args()
+    tag = "" if a.dataset == "TED" else "_expressive"
 
     import torch
-    step, n_params = build_reference_step(a.ref, a.batch_size, a.llm_layers)
+    step, n_params = build_reference_step(a.ref, a.batch_size, a.llm_layers,
+                                          dataset=a.dataset)
     print(f"reference HOP trainable params: {n_params}", file=sys.stderr)
 
     if a.count_flops:
@@ -130,7 +148,7 @@ def main():
             step()
         flops = int(counter.get_total_flops())
         result = {
-            "metric": "reference_hop_ted_gan_step_flops",
+            "metric": f"reference_hop_ted{tag}_gan_step_flops",
             "value": flops,
             "unit": "FLOP/step",
             "batch_size": a.batch_size,
@@ -142,7 +160,7 @@ def main():
         if os.path.exists(a.out):
             with open(a.out) as f:
                 merged = json.load(f)
-        merged[f"flops_bs{a.batch_size}"] = result
+        merged[f"flops{tag}_bs{a.batch_size}"] = result
         with open(a.out, "w") as f:
             json.dump(merged, f, indent=1)
         return
@@ -155,7 +173,7 @@ def main():
     dt = (time.perf_counter() - t0) / a.steps
 
     result = {
-        "metric": "reference_hop_ted_gan_step_s_per_iter",
+        "metric": f"reference_hop_ted{tag}_gan_step_s_per_iter",
         "value": dt,
         "unit": "s/iter",
         "batch_size": a.batch_size,
@@ -169,7 +187,7 @@ def main():
     if os.path.exists(a.out):
         with open(a.out) as f:
             merged = json.load(f)
-    merged[f"torch_cpu_bs{a.batch_size}"] = result
+    merged[f"torch_cpu{tag}_bs{a.batch_size}"] = result
     with open(a.out, "w") as f:
         json.dump(merged, f, indent=1)
     print(f"wrote {a.out}", file=sys.stderr)
