@@ -43,6 +43,10 @@ def run_cli(a):
            "--data", os.path.join(a.data, "train"),
            "--val-data", os.path.join(a.data, "val"),
            "--log-every", "5",
+           # enter the GAN phase at epoch 1 so the steady-state rate is the
+           # full GAN step (same program bench.py times), not the cheaper
+           # generator-only warmup step (reference gate epoch > 10)
+           "--warmup-epochs", "0",
            "--checkpoint-dir", a.checkpoint_dir,
            "--checkpoint-every", "1000"]
     if a.eval_net:
@@ -72,16 +76,19 @@ def parse_cli(stdout):
 def measure_phases(a, steps_per_epoch):
     """Direct phase timings on the same corpus (run AFTER the CLI exits:
     the axon TPU tunnel is single-client)."""
-    import jax
+    import types
+
     import jax.numpy as jnp
     import numpy as np
 
     from hop_tpu.cli import common as C
     from hop_tpu.config import ted_config
-    from hop_tpu.data.dataset import SpeechMotionDataset
 
     cfg = ted_config()
-    ds = SpeechMotionDataset(os.path.join(a.data, "train"), cfg.data)
+    ds, _, _ = C.load_datasets(cfg, types.SimpleNamespace(
+        data=os.path.join(a.data, "train"),
+        val_data=os.path.join(a.data, "val"),
+        wordembed_path=None, synthetic_videos=0, seed=0))
 
     # tunnel RTT: scalar round-trip of a no-op
     x = jnp.float32(1.0)
@@ -135,10 +142,9 @@ def main():
     s_iter, epoch_cost, eval_sec, n_train = parse_cli(stdout)
     steps_per_epoch = n_train // a.batch_size
 
-    # epoch 1 pays the XLA compiles; steady-state = later epochs
-    steady_epochs = epoch_cost[1:] if len(epoch_cost) > 1 else epoch_cost
-    steady_s_iter = (s_iter[steps_per_epoch // 5:]
-                     if len(s_iter) > steps_per_epoch // 5 else s_iter)
+    # epoch 1 pays the warmup-step compile, epoch 2 the GAN-step compile
+    # (--warmup-epochs 0); steady state = epoch 3 onward
+    steady_epochs = epoch_cost[2:] if len(epoch_cost) > 2 else epoch_cost[-1:]
     phases = measure_phases(a, steps_per_epoch)
 
     loop_s_iter = (sum(steady_epochs) / len(steady_epochs)

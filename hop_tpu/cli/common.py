@@ -110,6 +110,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "truncated to --llm-layers")
     p.add_argument("--llm-layers", type=int, default=None,
                    help="backbone depth (reference --llm_layers, default 6)")
+    p.add_argument("--warmup-epochs", type=int, default=None,
+                   help="generator-only epochs before the GAN phase starts "
+                        "(the reference hardcodes the gate `epoch > 10`, "
+                        "train_llm.py:15; override to e.g. 0 to enter the "
+                        "GAN phase immediately)")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="save the latest-for-resume checkpoint every N "
@@ -190,6 +195,9 @@ def apply_overrides(cfg: Config, args) -> Config:
         train = dataclasses.replace(train, batch_size=args.batch_size)
     if args.learning_rate is not None:
         train = dataclasses.replace(train, learning_rate=args.learning_rate)
+    if getattr(args, "warmup_epochs", None) is not None:
+        cfg = cfg.replace(loss=dataclasses.replace(
+            cfg.loss, warmup_epochs=args.warmup_epochs))
     data = cfg.data
     if getattr(args, "use_hf_token_stream", False):
         data = dataclasses.replace(data, use_hf_token_stream=True)
