@@ -71,8 +71,113 @@ def run_and_trace(args):
     jax.block_until_ready(metrics["loss"])
     jax.profiler.stop_trace()
 
+    # Post-optimization HLO with op_name metadata: maps every fused op in
+    # the trace back to its flax module scope (analyze --by-scope input).
+    # EpochStep wraps the steady jit fn; .lower().compile() re-lowers but
+    # hits the persistent compile cache.
+    try:
+        jitted = getattr(gan_step, "_steady", gan_step)
+        txt = jitted.lower(state, b, jax.random.PRNGKey(0)).compile().as_text()
+        with open(os.path.join(args.trace_dir, "gan_step_hlo.txt"), "w") as f:
+            f.write(txt)
+    except Exception as exc:  # diagnostic aid only — never fail the run
+        print(f"(hlo dump skipped: {exc})", file=sys.stderr)
 
-def analyze(trace_dir: str, steps: int, top: int):
+
+# Model-block attribution: ordered (block, regex) over the op metadata
+# path XLA records for every device op (jax propagates the flax module
+# scope into op_metadata.op_name, which the profiler exposes per event).
+# First match wins; order puts the most specific scopes first.
+_BLOCK_PATTERNS = [
+    # scope vocabulary measured from the fused gan_step's post-opt HLO:
+    # jit(step)/jvp(HOPModel.two_speaker_forward)/HOPModel.trunk/llm/...
+    ("bert", r"/llm[/.]|embed_ln|embed_dropout"),
+    ("reprogramming", r"reprogramming|mapping_layer|align_layer"),
+    ("gwnet", r"gwnet"),
+    ("beat_features", r"_beat_features|wav_enc|WavEncoder"),
+    ("gru_head", r"HOPModel\.head|GRU_|BiGRU|pallas_gru"),
+    ("discriminator", r"(?i)discriminator"),
+    ("speaker_cvae", r"speaker|z_net|cvae"),
+    ("loss_opt_elementwise",
+     r"jit\(step\)/(transpose\()?(add|mul|sub|div|reduce|sqrt|integer_pow"
+     r"|sign|max|min|abs|square|neg|log|exp|pow|sum|mean|where|select)"),
+]
+
+
+def _scope_of(e, hlo_map):
+    """Best-effort op-metadata path for a trace event (field name varies
+    by backend/profiler version: tf_op on TPU, sometimes long_name);
+    falls back to the post-opt-HLO op_name map dumped by run_and_trace."""
+    a = e.get("args", {})
+    for k in ("tf_op", "long_name", "name", "hlo_op"):
+        v = a.get(k)
+        if isinstance(v, str) and "/" in v:
+            return v
+    return hlo_map.get(e["name"], "") or hlo_map.get(
+        a.get("hlo_op", ""), "")
+
+
+def load_hlo_map(trace_dir):
+    """op-name -> op_name-metadata scope, from the post-opt HLO dump."""
+    import re
+    path = os.path.join(trace_dir, "gan_step_hlo.txt")
+    if not os.path.exists(path):
+        return {}
+    pat = re.compile(r"%?([\w.\-]+) = .*?op_name=\"([^\"]+)\"")
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if "op_name=" not in line:
+                continue
+            m = pat.search(line)
+            if m:
+                out[m.group(1)] = m.group(2)
+    return out
+
+
+def analyze_scopes(events, tname, steps, dump_args=0, hlo_map=None):
+    """Group device-op time by model block via op-metadata scopes."""
+    import re
+    hlo_map = hlo_map or {}
+    by_block = collections.Counter()
+    unattributed = collections.Counter()
+    total = 0.0
+    dumped = 0
+    # TPU: device ops on "XLA Ops" threads; CPU fallback: any event
+    # carrying hlo_op/hlo_category args (same tiering as _collect)
+    on_xla_ops = [e for e in events if e.get("ph") == "X" and "XLA Ops"
+                  in tname.get((e.get("pid"), e.get("tid")), "")]
+    device_events = on_xla_ops or [
+        e for e in events if e.get("ph") == "X"
+        and ("hlo_op" in e.get("args", {})
+             or "hlo_category" in e.get("args", {}))]
+    for e in device_events:
+        if dumped < dump_args:
+            print(f"[args] name={e['name'][:60]!r} args={e.get('args')}")
+            dumped += 1
+        dur = e.get("dur", 0.0)
+        total += dur
+        scope = _scope_of(e, hlo_map)
+        for block, pat in _BLOCK_PATTERNS:
+            if re.search(pat, scope) or re.search(pat, e["name"]):
+                by_block[block] += dur
+                break
+        else:
+            by_block["(unattributed)"] += dur
+            unattributed[(e["name"][:60], scope[:80])] += dur
+    print("\n=== by model block (ms/step) ===")
+    for block, dur in by_block.most_common():
+        pct = 100.0 * dur / total if total else 0.0
+        print(f"  {dur / steps / 1e3:8.3f}  {pct:5.1f}%  {block}")
+    if unattributed:
+        print("\n=== top unattributed ops ===")
+        for (name, scope), dur in unattributed.most_common(10):
+            print(f"  {dur / steps / 1e3:8.3f}  {name}  <- {scope}")
+    return by_block, total
+
+
+def analyze(trace_dir: str, steps: int, top: int, by_scope=False,
+            dump_args=0):
     files = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
                              recursive=True), key=os.path.getmtime)
     if not files:
@@ -123,6 +228,9 @@ def analyze(trace_dir: str, steps: int, top: int):
     print(f"\n=== top {top} ops (ms/step) ===")
     for (cat, name), dur in by_name.most_common(top):
         print(f"  {dur / steps / 1e3:8.3f}  [{cat}] {name}")
+    if by_scope or dump_args:
+        analyze_scopes(events, tname, steps, dump_args=dump_args,
+                       hlo_map=load_hlo_map(trace_dir))
 
 
 def main():
@@ -135,10 +243,17 @@ def main():
     p.add_argument("--analyze-only", action="store_true",
                    help="skip running; summarise the newest trace in "
                         "--trace-dir")
+    p.add_argument("--by-scope", action="store_true",
+                   help="also group device time by model block (flax "
+                        "scope in the op metadata) — the roofline input")
+    p.add_argument("--dump-args", type=int, default=0,
+                   help="print the raw args of the first N device events "
+                        "(calibrates the scope-field detection)")
     args = p.parse_args()
     if not args.analyze_only:
         run_and_trace(args)
-    analyze(args.trace_dir, args.steps, args.top)
+    analyze(args.trace_dir, args.steps, args.top, by_scope=args.by_scope,
+            dump_args=args.dump_args)
 
 
 if __name__ == "__main__":
