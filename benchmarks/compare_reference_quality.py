@@ -230,6 +230,11 @@ def main(argv=None):
     p.add_argument("--seconds", type=float, default=25.0)
     p.add_argument("--seed", type=int, default=2021)
     p.add_argument("--workdir", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="reuse fixture/eval-net/ours artifacts already in "
+                        "--workdir (records/, evalnet.npz, ours.json) "
+                        "instead of recomputing them — crash recovery for "
+                        "the long reference-torch phase")
     p.add_argument("--skip-reference", action="store_true")
     p.add_argument("--dataset", default="TED", choices=("TED", "expressive"),
                    help="expressive = run_expressive.py's config (pose_dim "
@@ -253,14 +258,31 @@ def main(argv=None):
                                   epochs=args.epochs),
         llm=dataclasses.replace(cfg.llm, compute_bf16=False))
 
-    print(f"[1/4] fixture + import ({args.videos} videos)")
-    rec = build_fixture(workdir, cfg, args.videos, args.seconds, args.seed)
-    print("[2/4] train + export the FGD feature net")
-    eval_net = train_eval_net(rec, workdir, args.batch_size, args.seed,
-                              dataset=args.dataset)
-    print("[3/4] train OURS (parity step)")
-    ours = run_ours(cfg, rec, eval_net, args)
-    ours["impl"] = "hop_tpu-parity"
+    rec = os.path.join(workdir, "records", "train")
+    eval_net = os.path.join(workdir, "evalnet.npz")
+    ours_cache = os.path.join(workdir, "ours.json")
+    if args.resume and os.path.exists(rec + ".bin"):
+        print(f"[1/4] fixture reused from {workdir}")
+    else:
+        print(f"[1/4] fixture + import ({args.videos} videos)")
+        rec = build_fixture(workdir, cfg, args.videos, args.seconds,
+                            args.seed)
+    if args.resume and os.path.exists(eval_net):
+        print("[2/4] FGD feature net reused")
+    else:
+        print("[2/4] train + export the FGD feature net")
+        eval_net = train_eval_net(rec, workdir, args.batch_size, args.seed,
+                                  dataset=args.dataset)
+    if args.resume and os.path.exists(ours_cache):
+        print("[3/4] OURS trajectory reused")
+        with open(ours_cache) as f:
+            ours = json.load(f)
+    else:
+        print("[3/4] train OURS (parity step)")
+        ours = run_ours(cfg, rec, eval_net, args)
+        ours["impl"] = "hop_tpu-parity"
+        with open(ours_cache, "w") as f:
+            json.dump(ours, f)
     results = [ours]
     if not args.skip_reference:
         print("[4/4] train the REFERENCE's torch code (CPU)")

@@ -61,6 +61,28 @@ def run_and_trace(args):
 
     _, gan_step, init_state = make_hop_train_steps(cfg, model, disc)
     state = init_state(gen_vars, dis_vars)
+
+    if args.cost:
+        jitted = getattr(gan_step, "_steady", gan_step)
+        ca = jitted.lower(state, b, jax.random.PRNGKey(0)).compile(
+        ).cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0]
+        out = {k: ca.get(k) for k in
+               ("flops", "bytes accessed", "transcendentals")
+               if ca.get(k) is not None}
+        peak_flops = args.peak_tflops * 1e12
+        peak_bw = args.peak_gbs * 1e9
+        out["arithmetic_intensity_flops_per_byte"] = round(
+            out["flops"] / out["bytes accessed"], 2)
+        out["ridge_point_flops_per_byte"] = round(peak_flops / peak_bw, 2)
+        out["compute_bound_if_intensity_above_ridge"] = (
+            out["arithmetic_intensity_flops_per_byte"]
+            > out["ridge_point_flops_per_byte"])
+        print(json.dumps({"variant": args.variant,
+                          "batch_size": args.batch_size, **out}))
+        return
+
     # warm up (compile) outside the trace
     state, metrics = gan_step(state, b, jax.random.PRNGKey(100))
     jax.block_until_ready(metrics["loss"])
@@ -249,7 +271,20 @@ def main():
     p.add_argument("--dump-args", type=int, default=0,
                    help="print the raw args of the first N device events "
                         "(calibrates the scope-field detection)")
+    p.add_argument("--cost", action="store_true",
+                   help="skip tracing; print XLA's cost analysis of the "
+                        "compiled step (flops, bytes accessed, arithmetic "
+                        "intensity vs the ridge point) as one JSON line")
+    p.add_argument("--peak-tflops", type=float, default=197.0,
+                   help="accelerator peak TFLOP/s for the ridge point "
+                        "(default: v5e bf16)")
+    p.add_argument("--peak-gbs", type=float, default=819.0,
+                   help="accelerator HBM GB/s for the ridge point "
+                        "(default: v5e)")
     args = p.parse_args()
+    if args.cost:
+        run_and_trace(args)
+        return
     if not args.analyze_only:
         run_and_trace(args)
     analyze(args.trace_dir, args.steps, args.top, by_scope=args.by_scope,
