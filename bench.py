@@ -118,11 +118,17 @@ def bench_dataset(dataset, args):
         state = init_state(
             jax.tree_util.tree_map(jnp.array, gen_vars),
             jax.tree_util.tree_map(jnp.array, dis_vars))
-        state, metrics = gan_step(state, b, jax.random.PRNGKey(100))
+        # rbg root key on TPU (HOP_TPU_PRNG, utils/prng.py): the dropout
+        # masks derived from it use XLA's RngBitGenerator instead of
+        # threefry epilogues fused into the BERT matmuls — measured
+        # fused 19.4 -> 21.0 steps/s (v5e, bs256, 2026-08-19). Matches
+        # the training loop's key construction (cli/train_main.py).
+        from hop_tpu.utils.prng import train_key
+        state, metrics = gan_step(state, b, train_key(100))
         jax.block_until_ready(metrics["loss"])
         start = time.perf_counter()
         for i in range(args.steps):
-            state, metrics = gan_step(state, b, jax.random.PRNGKey(200 + i))
+            state, metrics = gan_step(state, b, train_key(200 + i))
         jax.block_until_ready(metrics["loss"])
         return args.steps / (time.perf_counter() - start)
 

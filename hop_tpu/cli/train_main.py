@@ -341,9 +341,10 @@ def train_main(cfg: Config, args) -> float:
 
     import contextlib
     with (mesh_ctx if mesh_ctx is not None else contextlib.nullcontext()):
+        from hop_tpu.utils.prng import train_key
         state, best_fgd = run_training(
             cfg, train_batches, warmup, gan, state,
-            rng=jax.random.PRNGKey(args.seed),
+            rng=train_key(args.seed),
             eval_fn=eval_fn, checkpoint_manager=ckpt,
             metric_path=args.metrics,
             tensorboard_dir=getattr(args, "tensorboard_dir", None),
