@@ -97,7 +97,7 @@ def run_ours(cfg, rec: str, eval_net: str, args):
     from types import SimpleNamespace
     a = SimpleNamespace(data=rec, epochs=args.epochs,
                         batch_size=args.batch_size, eval_net=eval_net,
-                        seed=args.seed)
+                        seed=args.train_seed)
     return run_variant(cfg, a, fused=False)
 
 
@@ -134,7 +134,7 @@ def run_reference(cfg, rec: str, eval_net: str, args):
     n_speakers = max(train_ds.speaker_model.n_words, 1)
     bs = min(args.batch_size, len(train_ds))
 
-    torch.manual_seed(args.seed)
+    torch.manual_seed(args.train_seed)
     bcfg = BertConfig(num_hidden_layers=cfg.llm.n_layers)
     llm = BertModel(bcfg)
 
@@ -202,7 +202,7 @@ def run_reference(cfg, rec: str, eval_net: str, args):
     t0 = time.perf_counter()
     for epoch in range(args.epochs):
         for hb in train_ds.batches(bs, shuffle=True,
-                                   seed=args.seed + epoch):
+                                   seed=args.train_seed + epoch):
             db = C.device_batch(hb, cfg)
             train_llm(ref_args, epoch,
                       torch.from_numpy(np.asarray(db["in_audio"])),
@@ -229,6 +229,10 @@ def main(argv=None):
     p.add_argument("--videos", type=int, default=3)
     p.add_argument("--seconds", type=float, default=25.0)
     p.add_argument("--seed", type=int, default=2021)
+    p.add_argument("--train-seed", type=int, default=None,
+                   help="seed for model init + batch order only (default: "
+                        "--seed). Lets multi-seed replicates share ONE "
+                        "fixture + eval net (combine with --resume).")
     p.add_argument("--workdir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="reuse fixture/eval-net/ours artifacts already in "
@@ -242,10 +246,12 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     if args.out is None:
-        name = ("REFERENCE_AB.json" if args.dataset == "TED"
-                else "REFERENCE_AB_EXPRESSIVE.json")
+        name = ("REFERENCE_AB" if args.dataset == "TED"
+                else "REFERENCE_AB_EXPRESSIVE")
+        if args.train_seed is not None and args.train_seed != args.seed:
+            name += f"_S{args.train_seed}"
         args.out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), name)
+            os.path.dirname(os.path.abspath(__file__)), name + ".json")
 
     import tempfile
     from hop_tpu.config import expressive_config, ted_config
@@ -258,9 +264,13 @@ def main(argv=None):
                                   epochs=args.epochs),
         llm=dataclasses.replace(cfg.llm, compute_bf16=False))
 
+    if args.train_seed is None:
+        args.train_seed = args.seed
     rec = os.path.join(workdir, "records", "train")
     eval_net = os.path.join(workdir, "evalnet.npz")
-    ours_cache = os.path.join(workdir, "ours.json")
+    ours_cache = os.path.join(
+        workdir, "ours.json" if args.train_seed == args.seed
+        else f"ours_s{args.train_seed}.json")
     if args.resume and os.path.exists(rec + ".bin"):
         print(f"[1/4] fixture reused from {workdir}")
     else:
@@ -290,6 +300,7 @@ def main(argv=None):
 
     payload = {"metric": "reference_quality_ab",
                "dataset": cfg.data.dataset,
+               "train_seed": args.train_seed,
                "epochs": args.epochs, "batch_size": args.batch_size,
                "fixture": {"videos": args.videos,
                            "clip_seconds": args.seconds},

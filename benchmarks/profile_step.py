@@ -64,7 +64,8 @@ def run_and_trace(args):
 
     if args.cost:
         jitted = getattr(gan_step, "_steady", gan_step)
-        ca = jitted.lower(state, b, jax.random.PRNGKey(0)).compile(
+        from hop_tpu.utils.prng import train_key
+        ca = jitted.lower(state, b, train_key(0)).compile(
         ).cost_analysis()
         if isinstance(ca, (list, tuple)):  # older jax returns [dict]
             ca = ca[0]
@@ -84,12 +85,14 @@ def run_and_trace(args):
         return
 
     # warm up (compile) outside the trace
-    state, metrics = gan_step(state, b, jax.random.PRNGKey(100))
+    # rbg root key = the default training configuration (utils/prng.py)
+    from hop_tpu.utils.prng import train_key
+    state, metrics = gan_step(state, b, train_key(100))
     jax.block_until_ready(metrics["loss"])
 
     jax.profiler.start_trace(args.trace_dir)
     for i in range(args.steps):
-        state, metrics = gan_step(state, b, jax.random.PRNGKey(200 + i))
+        state, metrics = gan_step(state, b, train_key(200 + i))
     jax.block_until_ready(metrics["loss"])
     jax.profiler.stop_trace()
 
@@ -99,7 +102,8 @@ def run_and_trace(args):
     # hits the persistent compile cache.
     try:
         jitted = getattr(gan_step, "_steady", gan_step)
-        txt = jitted.lower(state, b, jax.random.PRNGKey(0)).compile().as_text()
+        from hop_tpu.utils.prng import train_key
+        txt = jitted.lower(state, b, train_key(0)).compile().as_text()
         with open(os.path.join(args.trace_dir, "gan_step_hlo.txt"), "w") as f:
             f.write(txt)
     except Exception as exc:  # diagnostic aid only — never fail the run
