@@ -115,6 +115,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(the reference hardcodes the gate `epoch > 10`, "
                         "train_llm.py:15; override to e.g. 0 to enter the "
                         "GAN phase immediately)")
+    p.add_argument("--transfer-guard", default="off",
+                   choices=("off", "log", "disallow"),
+                   help="jax.transfer_guard_host_to_device mode around the "
+                        "training hot loop: any implicit host->device "
+                        "transfer (anything but device_batch's explicit "
+                        "device_put) logs or raises. The reference has no "
+                        "analog (NCCL/DDP transfers are implicit).")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="save the latest-for-resume checkpoint every N "
@@ -292,10 +299,15 @@ def device_batch(batch: dict, cfg: Config, with_mel: bool = True,
     keys: optional subset of host fields to transfer (MODEL_BATCH_KEYS);
     derived tensors (log_mel, text_mask, text_padded clamp) are computed
     when their sources are present.
+
+    Host arrays move via explicit jax.device_put so the training hot loop
+    is clean under jax.transfer_guard_host_to_device (SURVEY §2.7's
+    host↔device discipline; opt in with --transfer-guard disallow,
+    pinned by tests/test_transfer_guard.py).
     """
     if keys is not None:
         batch = {k: v for k, v in batch.items() if k in keys}
-    out = {k: jnp.asarray(v) for k, v in batch.items()}
+    out = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
     if with_mel and "in_audio" in out:
         d = cfg.data
         out["log_mel"] = mel_ops.log_mel_spectrogram(
@@ -303,16 +315,20 @@ def device_batch(batch: dict, cfg: Config, with_mel: bool = True,
             hop=d.mel_hop, n_mels=d.mel_bins)
     if "word_seq" in batch and "text_lengths" in batch:
         T = batch["word_seq"].shape[1]
-        out["text_mask"] = jnp.asarray(
+        out["text_mask"] = jax.device_put(
             (np.arange(T)[None] < batch["text_lengths"][:, None])
             .astype(np.float32))
     # the live HOP path feeds vocab word ids as LLM token ids
-    # (run_ted.py:400); clamp into the LLM vocab. use_hf_token_stream
-    # switches to the HF tokenizer ids instead.
-    if cfg.data.use_hf_token_stream and "text_tokens" in out:
-        out["text_padded"] = out["text_tokens"] % cfg.llm.vocab_size
-    elif "text_padded" in out:
-        out["text_padded"] = out["text_padded"] % cfg.llm.vocab_size
+    # (run_ted.py:400); clamp into the LLM vocab on the host (a device
+    # `% int` would promote the Python scalar through an implicit
+    # transfer and break the --transfer-guard discipline).
+    # use_hf_token_stream switches to the HF tokenizer ids instead.
+    if cfg.data.use_hf_token_stream and "text_tokens" in batch:
+        out["text_padded"] = jax.device_put(
+            np.asarray(batch["text_tokens"]) % cfg.llm.vocab_size)
+    elif "text_padded" in batch:
+        out["text_padded"] = jax.device_put(
+            np.asarray(batch["text_padded"]) % cfg.llm.vocab_size)
     return out
 
 

@@ -351,5 +351,6 @@ def train_main(cfg: Config, args) -> float:
             log_every=args.log_every,
             start_epoch=start_epoch, best_fgd=best_fgd,
             checkpoint_every=getattr(args, "checkpoint_every", 1),
-            profile_dir=getattr(args, "profile_dir", None))
+            profile_dir=getattr(args, "profile_dir", None),
+            transfer_guard=getattr(args, "transfer_guard", "off"))
     return best_fgd

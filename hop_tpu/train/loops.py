@@ -66,8 +66,16 @@ def run_training(cfg: Config,
                  start_epoch: int = 0,
                  best_fgd: float = float("inf"),
                  checkpoint_every: int = 1,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 transfer_guard: str = "off"):
     """Runs the full schedule; returns (state, best_fgd).
+
+    transfer_guard: "off" | "log" | "disallow" — wraps the hot loop
+    (batch assembly + step dispatch) in
+    jax.transfer_guard_host_to_device so any *implicit* host→device
+    transfer inside it logs or raises; the only sanctioned transfer is
+    cli/common.device_batch's explicit jax.device_put (SURVEY §2.7).
+    Eval and checkpointing run outside the guard.
 
     Exact resume: the per-step RNG is derived as
     ``fold_in(fold_in(rng, epoch), i)`` and the batch order is seeded per
@@ -105,6 +113,10 @@ def run_training(cfg: Config,
         # dispatch (the host could not assemble batch i+1 while the device
         # runs step i). One fetch per `log_every` steps keeps the pipeline
         # full; the meter averages are identical.
+        import contextlib
+        guard = (jax.transfer_guard_host_to_device(transfer_guard)
+                 if transfer_guard != "off" else contextlib.nullcontext())
+
         pending: list = []
 
         def _drain():
@@ -117,33 +129,37 @@ def run_training(cfg: Config,
                         meter.update(float(vals[name]), bsz)
             pending.clear()
 
-        for i, batch in enumerate(train_batches_fn(epoch)):
-            iter_count += 1
-            if profile_dir and epoch == start_epoch and i == 1:
-                jax.profiler.start_trace(profile_dir)
-                profiling = True
-            rng_step = jax.random.fold_in(epoch_rng, i)
-            state, metrics = step_fn(state, batch, rng_step)
-            bsz = next(iter(batch.values())).shape[0]
-            pending.append((metrics, bsz))
-            if profiling and i >= 4:
-                jax.block_until_ready(metrics)
-                jax.profiler.stop_trace()
-                profiling = False
-                print(f"profile trace written to {profile_dir}")
+        with guard:
+            for i, batch in enumerate(train_batches_fn(epoch)):
+                iter_count += 1
+                if profile_dir and epoch == start_epoch and i == 1:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                # explicit put of the step index: fold_in(key, python_int)
+                # would transfer the scalar implicitly and trip the guard
+                rng_step = jax.random.fold_in(
+                    epoch_rng, jax.device_put(np.uint32(i)))
+                state, metrics = step_fn(state, batch, rng_step)
+                bsz = next(iter(batch.values())).shape[0]
+                pending.append((metrics, bsz))
+                if profiling and i >= 4:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profile trace written to {profile_dir}")
 
-            if (i + 1) % log_every == 0:
-                _drain()
-                summary = f"\titers: {i + 1}, epoch: {epoch + 1} "
-                for meter in meters.values():
-                    if meter.count > 0:
-                        summary += f"{meter.name}: {meter.avg:.3f}, "
-                        meter.reset()
-                speed = (time.time() - time_now) / iter_count
-                print(summary)
-                print(f"\tspeed: {speed:.4f}s/iter")
-                time_now = time.time()
-                iter_count = 0
+                if (i + 1) % log_every == 0:
+                    _drain()
+                    summary = f"\titers: {i + 1}, epoch: {epoch + 1} "
+                    for meter in meters.values():
+                        if meter.count > 0:
+                            summary += f"{meter.name}: {meter.avg:.3f}, "
+                            meter.reset()
+                    speed = (time.time() - time_now) / iter_count
+                    print(summary)
+                    print(f"\tspeed: {speed:.4f}s/iter")
+                    time_now = time.time()
+                    iter_count = 0
 
         _drain()
         if profiling:   # epoch had < 5 iterations
