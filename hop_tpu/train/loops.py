@@ -10,6 +10,7 @@ and checkpoint save-on-best-FGD plus latest-for-resume.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import time
@@ -113,7 +114,6 @@ def run_training(cfg: Config,
         # dispatch (the host could not assemble batch i+1 while the device
         # runs step i). One fetch per `log_every` steps keeps the pipeline
         # full; the meter averages are identical.
-        import contextlib
         guard = (jax.transfer_guard_host_to_device(transfer_guard)
                  if transfer_guard != "off" else contextlib.nullcontext())
 
