@@ -101,7 +101,7 @@ def bench_dataset(dataset, args):
     disc = ConvDiscriminator()
     # jit the inits: eager flax init dispatches thousands of tiny ops,
     # which is pathological over the tunneled TPU
-    n_pre = cfg.data.n_pre_poses * 4  # 16 seed frames (run_ted.py:393)
+    n_pre = cfg.data.n_seed_frames  # 16 seed frames (run_ted.py:393)
     gen_vars = jax.jit(lambda r: model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(3)},
         b["in_audio"], b["log_mel"], b["text_padded"],

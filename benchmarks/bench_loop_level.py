@@ -140,11 +140,21 @@ def main():
 
     stdout, wall = run_cli(a)
     s_iter, epoch_cost, eval_sec, n_train = parse_cli(stdout)
+    if n_train is None or not epoch_cost:
+        raise SystemExit("could not parse 'train samples:'/'cost time:' "
+                         "from the CLI output — tail:\n" + stdout[-2000:])
     steps_per_epoch = n_train // a.batch_size
+    if steps_per_epoch == 0:
+        raise SystemExit(f"corpus too small: {n_train} train samples < "
+                         f"batch size {a.batch_size}")
 
     # epoch 1 pays the warmup-step compile, epoch 2 the GAN-step compile
-    # (--warmup-epochs 0); steady state = epoch 3 onward
-    steady_epochs = epoch_cost[2:] if len(epoch_cost) > 2 else epoch_cost[-1:]
+    # (--warmup-epochs 0); steady state = epoch 3 onward — refuse to label
+    # a compile-tainted epoch as steady state
+    if len(epoch_cost) <= 2:
+        raise SystemExit("need --epochs >= 3: epochs 1-2 pay the warmup/"
+                         "GAN-step compiles and cannot be steady state")
+    steady_epochs = epoch_cost[2:]
     phases = measure_phases(a, steps_per_epoch)
 
     loop_s_iter = (sum(steady_epochs) / len(steady_epochs)

@@ -283,14 +283,28 @@ def main(argv=None):
         print("[2/4] train + export the FGD feature net")
         eval_net = train_eval_net(rec, workdir, args.batch_size, args.seed,
                                   dataset=args.dataset)
+    ours = None
     if args.resume and os.path.exists(ours_cache):
-        print("[3/4] OURS trajectory reused")
         with open(ours_cache) as f:
-            ours = json.load(f)
-    else:
+            cached = json.load(f)
+        # the cache is keyed by train_seed only — refuse to pair a cached
+        # trajectory with a reference arm trained under different settings
+        # (older caches lack the fields; trust them, they predate the key)
+        same = (cached.get("epochs", args.epochs) == args.epochs
+                and cached.get("batch_size", args.batch_size)
+                == args.batch_size)
+        if same:
+            print("[3/4] OURS trajectory reused")
+            ours = cached
+        else:
+            print(f"[3/4] cached OURS was epochs={cached.get('epochs')} "
+                  f"bs={cached.get('batch_size')} != requested; retraining")
+    if ours is None:
         print("[3/4] train OURS (parity step)")
         ours = run_ours(cfg, rec, eval_net, args)
         ours["impl"] = "hop_tpu-parity"
+        ours["epochs"] = args.epochs
+        ours["batch_size"] = args.batch_size
         with open(ours_cache, "w") as f:
             json.dump(ours, f)
     results = [ours]

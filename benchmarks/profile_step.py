@@ -53,7 +53,7 @@ def run_and_trace(args):
     gen_vars = jax.jit(lambda r: model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(3)},
         b["in_audio"], b["log_mel"], b["text_padded"],
-        b["target_vec"][:, :16], b["vid_indices"],
+        b["target_vec"][:, :cfg.data.n_seed_frames], b["vid_indices"],
         rng=r, train=True))(jax.random.PRNGKey(1))
     dis_vars = jax.jit(lambda: disc.init(
         {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(4)},
@@ -74,12 +74,19 @@ def run_and_trace(args):
                if ca.get(k) is not None}
         peak_flops = args.peak_tflops * 1e12
         peak_bw = args.peak_gbs * 1e9
-        out["arithmetic_intensity_flops_per_byte"] = round(
-            out["flops"] / out["bytes accessed"], 2)
-        out["ridge_point_flops_per_byte"] = round(peak_flops / peak_bw, 2)
-        out["compute_bound_if_intensity_above_ridge"] = (
-            out["arithmetic_intensity_flops_per_byte"]
-            > out["ridge_point_flops_per_byte"])
+        # some backends' cost_analysis omits 'bytes accessed' (CPU smoke
+        # path) — report what we have instead of crashing
+        if out.get("flops") and out.get("bytes accessed"):
+            out["arithmetic_intensity_flops_per_byte"] = round(
+                out["flops"] / out["bytes accessed"], 2)
+            out["ridge_point_flops_per_byte"] = round(
+                peak_flops / peak_bw, 2)
+            out["compute_bound_if_intensity_above_ridge"] = (
+                out["arithmetic_intensity_flops_per_byte"]
+                > out["ridge_point_flops_per_byte"])
+        else:
+            out["note"] = ("cost_analysis lacked flops/bytes accessed on "
+                           "this backend; intensity not derived")
         print(json.dumps({"variant": args.variant,
                           "batch_size": args.batch_size, **out}))
         return

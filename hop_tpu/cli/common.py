@@ -307,7 +307,9 @@ def device_batch(batch: dict, cfg: Config, with_mel: bool = True,
     """
     if keys is not None:
         batch = {k: v for k, v in batch.items() if k in keys}
-    out = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    # text ids are transferred once, post-clamp (below) — not here too
+    out = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()
+           if k not in ("text_padded", "text_tokens")}
     if with_mel and "in_audio" in out:
         d = cfg.data
         out["log_mel"] = mel_ops.log_mel_spectrogram(

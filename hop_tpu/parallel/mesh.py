@@ -12,6 +12,7 @@ are declared, XLA chooses the ICI collectives.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 import jax
@@ -48,17 +49,31 @@ def create_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(grid, ("data", "model"))
 
 
+# jax has no public accessor for the `with mesh:` context; resolve the
+# private handle ONCE at import and complain loudly if a jax upgrade moves
+# it — silently returning None here would no-op every sharding constraint
+# and quietly reintroduce the MULTICHIP_r03 rematerialization regression.
+try:
+    from jax._src.mesh import thread_resources as _thread_resources
+except Exception:  # pragma: no cover - only fires on a jax API break
+    _thread_resources = None
+    warnings.warn(
+        "jax._src.mesh.thread_resources unavailable in this jax version: "
+        "ambient_mesh() always returns None, so constrain_batch/"
+        "distributed-eval sharding constraints are DISABLED (multichip "
+        "perf regression). Update hop_tpu.parallel.mesh.ambient_mesh.",
+        RuntimeWarning, stacklevel=2)
+
+
 def ambient_mesh() -> Mesh | None:
     """The mesh entered via `with mesh:` around the current trace, if any.
 
     Model code uses this to make sharding constraints self-disabling on
     single-device paths (tests, CPU runs) where no mesh context exists."""
-    try:
-        from jax._src import mesh as mesh_lib
-        m = mesh_lib.thread_resources.env.physical_mesh
-        return None if m.empty else m
-    except Exception:
+    if _thread_resources is None:
         return None
+    m = _thread_resources.env.physical_mesh
+    return None if m.empty else m
 
 
 def constrain_batch(x, axis: int = 0):
