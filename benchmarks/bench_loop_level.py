@@ -51,6 +51,10 @@ def run_cli(a):
            "--checkpoint-every", "1000"]
     if a.eval_net:
         cmd += ["--eval-net", a.eval_net]
+    if a.audio_wire:
+        cmd += ["--audio-wire", a.audio_wire]
+    if a.prefetch:
+        cmd += ["--prefetch", str(a.prefetch)]
     print("+", " ".join(cmd), flush=True)
     t0 = time.time()
     proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
@@ -85,6 +89,10 @@ def measure_phases(a, steps_per_epoch):
     from hop_tpu.config import ted_config
 
     cfg = ted_config()
+    if a.audio_wire:
+        import dataclasses
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, audio_wire=a.audio_wire))
     ds, _, _ = C.load_datasets(cfg, types.SimpleNamespace(
         data=os.path.join(a.data, "train"),
         val_data=os.path.join(a.data, "val"),
@@ -133,6 +141,12 @@ def main():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--model", default="AD_LLM")
     p.add_argument("--eval-net", default=None)
+    p.add_argument("--audio-wire", default=None, choices=("f32", "int16"),
+                   help="pass through to run_ted: int16 halves the "
+                        "dominant H2D tensor (DataConfig.audio_wire)")
+    p.add_argument("--prefetch", type=int, default=0,
+                   help="pass through to run_ted: overlap assembly+"
+                        "transfer with the device step")
     p.add_argument("--checkpoint-dir", default="/tmp/ck_loop_bench")
     p.add_argument("--out", default=os.path.join(
         REPO, "benchmarks", "LOOP_LEVEL.json"))
@@ -170,6 +184,8 @@ def main():
         "steady_train_s_per_iter": round(loop_s_iter, 4),
         "steady_train_steps_per_s": round(1.0 / loop_s_iter, 4),
         "cli_printed_s_iter": s_iter,
+        "audio_wire": a.audio_wire or "f32",
+        "prefetch": a.prefetch,
         "phases": phases,
         "note": "train-loop rate excludes per-epoch eval (reported "
                 "separately); epoch 1 (compile) excluded from steady state",

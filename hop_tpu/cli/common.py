@@ -122,6 +122,20 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "transfer (anything but device_batch's explicit "
                         "device_put) logs or raises. The reference has no "
                         "analog (NCCL/DDP transfers are implicit).")
+    p.add_argument("--audio-wire", default=None, choices=("f32", "int16"),
+                   help="host->device wire dtype for raw audio, the "
+                        "dominant batch tensor (37 of 38 MB at bs256). "
+                        "int16 halves the transfer volume; bit-exact for "
+                        "16-bit-PCM-derived audio (the TED wavs), else "
+                        "bounded by 2^-16 full-scale (DataConfig."
+                        "audio_wire).")
+    p.add_argument("--prefetch", type=int, default=0,
+                   help="overlap host batch assembly + device transfer "
+                        "with the device step by preparing up to N "
+                        "batches ahead on a background thread (0 = "
+                        "synchronous). The prefetch thread performs only "
+                        "device_batch's sanctioned explicit transfers; "
+                        "--transfer-guard applies to the consumer loop.")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="save the latest-for-resume checkpoint every N "
@@ -209,6 +223,9 @@ def apply_overrides(cfg: Config, args) -> Config:
     if getattr(args, "use_hf_token_stream", False):
         data = dataclasses.replace(data, use_hf_token_stream=True)
         cfg = cfg.replace(data=data)
+    if getattr(args, "audio_wire", None):
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, audio_wire=args.audio_wire))
     if getattr(args, "parity_step", False):
         cfg = cfg.replace(hop=dataclasses.replace(cfg.hop,
                                                   fused_step=False))
@@ -292,6 +309,25 @@ MODEL_BATCH_KEYS = {
 }
 
 
+@jax.jit
+def _dequant_audio(q: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) * (1.0 / 32768.0)
+
+
+def _put_audio(audio: np.ndarray, wire: str) -> jax.Array:
+    """Transfer raw audio at the configured wire dtype (DataConfig.audio_wire).
+
+    "int16" quantizes on the host to the 16-bit PCM grid (i/2^15) and
+    dequantizes on device, halving the H2D volume of the batch's dominant
+    tensor. Exact for PCM-derived audio; <=2^-16 full-scale error and
+    [-1, 1) saturation otherwise. The model always sees float32.
+    """
+    if wire == "int16":
+        q = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+        return _dequant_audio(jax.device_put(q))
+    return jax.device_put(audio)
+
+
 def device_batch(batch: dict, cfg: Config, with_mel: bool = True,
                  keys=None) -> dict:
     """Host batch -> device arrays + on-device log-mel.
@@ -309,7 +345,10 @@ def device_batch(batch: dict, cfg: Config, with_mel: bool = True,
         batch = {k: v for k, v in batch.items() if k in keys}
     # text ids are transferred once, post-clamp (below) — not here too
     out = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()
-           if k not in ("text_padded", "text_tokens")}
+           if k not in ("text_padded", "text_tokens", "in_audio")}
+    if "in_audio" in batch:
+        out["in_audio"] = _put_audio(np.asarray(batch["in_audio"]),
+                                     cfg.data.audio_wire)
     if with_mel and "in_audio" in out:
         d = cfg.data
         out["log_mel"] = mel_ops.log_mel_spectrogram(

@@ -352,5 +352,6 @@ def train_main(cfg: Config, args) -> float:
             start_epoch=start_epoch, best_fgd=best_fgd,
             checkpoint_every=getattr(args, "checkpoint_every", 1),
             profile_dir=getattr(args, "profile_dir", None),
-            transfer_guard=getattr(args, "transfer_guard", "off"))
+            transfer_guard=getattr(args, "transfer_guard", "off"),
+            prefetch=getattr(args, "prefetch", 0))
     return best_fgd

@@ -41,6 +41,13 @@ class DataConfig:
     # reference DataPreprocessor only ingests the first 50% of videos
     # (data_preprocessor.py:56-57); kept as an opt-in parity flag.
     truncate_videos_frac: float = 1.0
+    # host->device wire dtype for the raw-audio stream, the largest batch
+    # tensor (bs256: 37 MB of the 38 MB AD_LLM batch). "int16" halves the
+    # transfer volume; it is bit-exact for audio decoded from 16-bit PCM
+    # (the TED wavs: librosa.load yields i/2^15 floats — the i is
+    # recovered exactly), and bounded by 2^-16 full-scale otherwise.
+    # Values outside [-1, 1) saturate. Default keeps the f32 parity path.
+    audio_wire: str = "f32"              # "f32" | "int16"
 
     @property
     def pose_dim(self) -> int:

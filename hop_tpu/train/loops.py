@@ -28,6 +28,55 @@ METER_NAMES = ("loss", "var_loss", "gen", "dis", "KLD", "DIV_REG",
                "c_pos", "c_neg", "phy")
 
 
+def prefetch_iter(it: Iterable, depth: int):
+    """Run ``it`` on a background thread, keeping up to ``depth`` items
+    ready — so host batch assembly + the explicit device_put overlap with
+    the device executing the previous step instead of serialising with it
+    (the reference gets the same overlap from DataLoader num_workers,
+    run_ted.py:229). Order is preserved, so training trajectories are
+    bit-identical to the synchronous loop (tests/test_prefetch.py).
+    Exceptions raised by the producer re-raise at the consumer."""
+    import queue
+    import threading
+
+    if depth <= 0:
+        yield from it
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:   # re-raised by the consumer
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="hop-batch-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 class MetricWriter:
     """JSONL scalar stream (the TensorBoard replacement); optionally
     mirrors live into a TensorBoard event dir (utils/metrics_export)."""
@@ -68,7 +117,8 @@ def run_training(cfg: Config,
                  best_fgd: float = float("inf"),
                  checkpoint_every: int = 1,
                  profile_dir: Optional[str] = None,
-                 transfer_guard: str = "off"):
+                 transfer_guard: str = "off",
+                 prefetch: int = 0):
     """Runs the full schedule; returns (state, best_fgd).
 
     transfer_guard: "off" | "log" | "disallow" — wraps the hot loop
@@ -77,6 +127,11 @@ def run_training(cfg: Config,
     transfer inside it logs or raises; the only sanctioned transfer is
     cli/common.device_batch's explicit jax.device_put (SURVEY §2.7).
     Eval and checkpointing run outside the guard.
+
+    prefetch: assemble + device_put up to N batches ahead on a background
+    thread (prefetch_iter). The guard is thread-local, so it constrains
+    the consumer loop; the producer performs only device_batch's
+    sanctioned explicit transfers.
 
     Exact resume: the per-step RNG is derived as
     ``fold_in(fold_in(rng, epoch), i)`` and the batch order is seeded per
@@ -130,7 +185,8 @@ def run_training(cfg: Config,
             pending.clear()
 
         with guard:
-            for i, batch in enumerate(train_batches_fn(epoch)):
+            for i, batch in enumerate(
+                    prefetch_iter(train_batches_fn(epoch), prefetch)):
                 iter_count += 1
                 if profile_dir and epoch == start_epoch and i == 1:
                     jax.profiler.start_trace(profile_dir)
