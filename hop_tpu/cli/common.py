@@ -424,12 +424,19 @@ def _load_variables(path: str, template):
 
 
 def make_eval_fn(cfg: Config, val_ds, evaluator, generate_from_state,
-                 n_speakers: int):
-    """generate_from_state(state, batch, vids, rng) -> outputs."""
+                 n_speakers: int, prefetch: int = 0):
+    """generate_from_state(state, batch, vids, rng) -> outputs.
+
+    prefetch: overlap val-batch assembly + transfer with the device
+    forwards, same background-thread pipeline as the train loop."""
+    from hop_tpu.train.loops import prefetch_iter
+
     def eval_fn(state, epoch):
-        batches = (device_batch(b, cfg)
-                   for b in val_ds.batches(cfg.train.batch_size,
-                                           shuffle=False, drop_last=False))
+        batches = prefetch_iter(
+            (device_batch(b, cfg)
+             for b in val_ds.batches(cfg.train.batch_size,
+                                     shuffle=False, drop_last=False)),
+            prefetch)
         def gen(batch, vids, rng):
             return generate_from_state(state, batch, vids, rng)
         return evaluate_testset(batches, gen, evaluator, epoch, cfg,

@@ -279,7 +279,8 @@ def train_main(cfg: Config, args) -> float:
         cfg, args, lang, n_speakers, sample)
 
     evaluator = C.make_fgd_evaluator(cfg, lang.n_words, args.eval_net)
-    eval_fn = C.make_eval_fn(cfg, val_ds, evaluator, generate, n_speakers)
+    eval_fn = C.make_eval_fn(cfg, val_ds, evaluator, generate, n_speakers,
+                             prefetch=getattr(args, "prefetch", 0))
     ckpt = CheckpointManager(args.checkpoint_dir)
 
     batch_keys = C.MODEL_BATCH_KEYS.get(args.model)
