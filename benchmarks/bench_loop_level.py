@@ -124,7 +124,13 @@ def measure_phases(a, steps_per_epoch):
         db = C.device_batch(hb, cfg, keys=keys)
         float(jnp.sum(db["log_mel"]))
     transfer = (time.perf_counter() - t0) / reps - rtt
-    vol_mb = sum(v.nbytes for k, v in hb.items()
+    # wire volume: in_audio moves as int16 when audio_wire=int16
+    # (cli/common._put_audio), i.e. half its host-f32 nbytes
+    def wire_bytes(k, v):
+        if k == "in_audio" and cfg.data.audio_wire == "int16":
+            return v.nbytes // 2
+        return v.nbytes
+    vol_mb = sum(wire_bytes(k, v) for k, v in hb.items()
                  if keys is None or k in keys) / 1e6
     return {"tunnel_rtt_s": round(rtt, 4),
             "host_assembly_s": round(assembly, 4),

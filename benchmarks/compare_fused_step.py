@@ -16,6 +16,9 @@ Usage:
 
 --seeds N runs both variants from N different seeds (multi-seed evidence
 for the fused-vs-parity quality question instead of a single trajectory).
+--dataset expressive runs the same study at the expressive configuration
+(pose_dim 126, 42 graph nodes, reference run_expressive.py:81-100 loss
+weights) so the fused default is justified on both datasets.
 """
 
 from __future__ import annotations
@@ -87,12 +90,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=2021)
     p.add_argument("--seeds", type=int, default=1,
                    help="number of seeds per variant (seed, seed+1, ...)")
+    p.add_argument("--dataset", default="TED", choices=("TED", "expressive"),
+                   help="expressive = run_expressive.py's config (pose_dim "
+                        "126, 42 graph nodes, loss weights 2100/5/0.8/0.5)")
     p.add_argument("--out", default=None,
                    help="also write the JSON payload to this path")
     args = p.parse_args(argv)
 
-    from hop_tpu.config import ted_config
-    cfg = ted_config()
+    from hop_tpu.config import expressive_config, ted_config
+    cfg = ted_config() if args.dataset == "TED" else expressive_config()
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, batch_size=args.batch_size, epochs=args.epochs))
     # exercise the GAN phase from epoch 2 so the comparison covers it
@@ -109,7 +115,8 @@ def main(argv=None):
             print(f"seed {a.seed} fused={fused}: "
                   f"min FGD {min(t['fgd'] for t in r['trajectory']):.1f} "
                   f"final {r['trajectory'][-1]['fgd']:.1f}")
-    payload = {"metric": "hop_fused_vs_parity", "runs": results}
+    payload = {"metric": f"hop_fused_vs_parity_{args.dataset}",
+               "runs": results}
     print(json.dumps(payload))
     if args.out:
         with open(args.out, "w") as f:
