@@ -118,11 +118,17 @@ class HOPModel(nn.Module):
         z_b, _, _ = self.speaker(rand_vid_indices, rng_b)
         trunk = self.trunk(in_audio, x_enc, text, pre_seq, train=train,
                            llm_train=llm_train)
-        stacked = jnp.concatenate([trunk, trunk], axis=0)
-        z = jnp.concatenate([z_a, z_b], axis=0)
-        out2 = self.head(stacked, z)
-        B = in_audio.shape[0]
-        return out2[:B], out2[B:], (z_a, mu_a, logvar_a), z_b
+        out_a = self.head(trunk, z_a)
+        # The rand-speaker output feeds only stop_gradient()-ed terms of the
+        # diversity regulariser (train/llm.py fused_loss, mirroring
+        # train_llm.py:58-69 where out_rand is detached), so cut the tangent
+        # path here instead of stacking a 2B batch: the recurrent head's
+        # backward then runs at B, and this branch compiles to a
+        # forward-only head call. The head is deterministic and per-sample
+        # independent, so the values are identical to the stacked form.
+        out_b = self.head(jax.lax.stop_gradient(trunk),
+                          jax.lax.stop_gradient(z_b))
+        return out_a, out_b, (z_a, mu_a, logvar_a), z_b
 
     def trunk(self, in_audio: jnp.ndarray, x_enc: jnp.ndarray,
               text: jnp.ndarray, pre_seq: jnp.ndarray,

@@ -20,6 +20,7 @@ parity tests can copy tensors 1:1.
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 import jax
@@ -34,7 +35,10 @@ def _pallas_gru_enabled():
       0               lax.scan path everywhere
       1               v2 time-grid kernel (ops/pallas_gru_stack: input
                       projections in XLA, recurrence in-kernel)
-      fused (default) v3 fully-fused kernel (ops/pallas_gru_fused:
+      auto (default)  v3 fused kernel on TPU v5 and newer, v2 time-grid
+                      on older generations (VMEM gate — see the hardware
+                      note below)
+      fused           v3 fully-fused kernel (ops/pallas_gru_fused:
                       projections + recurrence in one kernel, gate
                       streams never touch HBM). At the real HOP head
                       (B=256, T=34, I=992, H=350, 4-layer bidir) the
@@ -56,20 +60,37 @@ def _pallas_gru_enabled():
     the weight operands VMEM-resident across the call — sized for v5e's
     128 MB VMEM/core. On older generations with 16-32 MB VMEM the v3
     kernel may fail to compile at wide input shapes (e.g. the I=992 HOP
-    head); set HOP_TPU_PALLAS_GRU=1 (v2 time-grid, 16 MB footprint) or
-    =0 (scan) there."""
-    flag = os.environ.get("HOP_TPU_PALLAS_GRU", "fused")
+    head), so the default ('auto') selects it only on v5-or-newer device
+    kinds and uses the v2 time-grid kernel (16 MB footprint) elsewhere;
+    HOP_TPU_PALLAS_GRU=fused forces v3 regardless, =1 forces v2, =0 the
+    scan."""
+    flag = os.environ.get("HOP_TPU_PALLAS_GRU", "auto")
     if flag == "0":
         return False
     if flag in ("interpret", "interpret-fused"):
         return flag
     try:
-        on_tpu = jax.devices()[0].platform == "tpu"
+        dev = jax.devices()[0]
     except Exception:
         return False
-    if not on_tpu:
+    if dev.platform != "tpu":
         return False
-    return "fused" if flag == "fused" else "stack"
+    if flag == "fused":
+        return "fused"
+    if flag == "auto":
+        return "fused" if _vmem_fits_fused(dev) else "stack"
+    return "stack"
+
+
+def _vmem_fits_fused(dev) -> bool:
+    """True when the device generation has the VMEM headroom for the v3
+    kernel's 64 MB scoped cap (v5e/v5p: 128 MB/core; v2/v3/v4: 16-32 MB).
+    Parses the generation number out of device_kind strings like
+    'TPU v4', 'TPU v5 lite', 'TPU v5p chip', 'TPU7x'; unknown kinds get
+    the conservative v2 path (still 4x faster than the scan)."""
+    kind = getattr(dev, "device_kind", "") or ""
+    m = re.search(r"v?(\d+)", kind.lower().removeprefix("tpu"))
+    return bool(m) and int(m.group(1)) >= 5
 
 
 def _pallas_layer_tm(x_tm, dir_params, h0, h, interpret=False):

@@ -181,3 +181,42 @@ def test_truncation_loop_matches_reference_for_all_counts(tmp_path,
                                disable_filtering=True)
         pre.run(videos)
         assert processed == ref_order, n_videos
+
+
+def test_text_normalizers_match_live_reference():
+    """normalize_string / remove_tags_marks vs the reference's own
+    data_loader/data_utils.py:18-31 (librosa stubbed; never called)."""
+    import importlib.machinery
+    import sys
+    import types
+
+    added = []
+    for m in ("librosa", "soundfile", "lmdb", "fasttext"):
+        if m not in sys.modules:
+            mod = types.ModuleType(m)
+            mod.__spec__ = importlib.machinery.ModuleSpec(m, loader=None)
+            sys.modules[m] = mod
+            added.append(m)
+    sys.path.insert(0, "/root/reference")
+    try:
+        from data_loader import data_utils as ref_du
+        from hop_tpu.data import text as ours
+
+        cases = [
+            "Hello, World!  It's 3 o'clock?",
+            "  <laugh> don't -- STOP; <applause> ok...  ",
+            "a\tb\nc  d,e.f!g?h:i;j",
+            "café 123 naïve — em-dash 'quoted' \"double\"",
+            "",
+            "UPPER lower MiXeD,,,!!??..",
+        ]
+        for s in cases:
+            assert ours.normalize_string(s) == ref_du.normalize_string(s), s
+            assert ours.remove_tags_marks(s) == ref_du.remove_tags_marks(s), s
+    finally:
+        sys.path.remove("/root/reference")
+        for m in added:
+            sys.modules.pop(m, None)
+        for name in [k for k in list(sys.modules)
+                     if k.split(".")[0] == "data_loader"]:
+            sys.modules.pop(name, None)

@@ -85,3 +85,54 @@ def test_gru_cell_matches_torch(rng):
     j_h = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(h))
     np.testing.assert_allclose(np.asarray(j_h), t_h.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+class _FakeDev:
+    def __init__(self, kind, platform="tpu"):
+        self.device_kind = kind
+        self.platform = platform
+
+
+def test_vmem_gate_by_device_generation():
+    """HOP_TPU_PALLAS_GRU=auto picks the v3 fused kernel only on TPU v5+
+    (the kernel's 64 MB scoped-VMEM cap exceeds v2/v3/v4's 16-32 MB)."""
+    from hop_tpu.ops.gru import _vmem_fits_fused
+
+    assert _vmem_fits_fused(_FakeDev("TPU v5 lite"))
+    assert _vmem_fits_fused(_FakeDev("TPU v5e"))
+    assert _vmem_fits_fused(_FakeDev("TPU v5p chip"))
+    assert _vmem_fits_fused(_FakeDev("TPU v6 lite"))
+    assert _vmem_fits_fused(_FakeDev("TPU7x"))
+    assert not _vmem_fits_fused(_FakeDev("TPU v2"))
+    assert not _vmem_fits_fused(_FakeDev("TPU v3"))
+    assert not _vmem_fits_fused(_FakeDev("TPU v4"))
+    assert not _vmem_fits_fused(_FakeDev(""))          # unknown -> v2 path
+
+
+def test_pallas_gru_flag_resolution(monkeypatch):
+    """Flag semantics: auto gates on generation, fused forces v3, 1 forces
+    v2, 0 forces the scan; non-TPU platforms always scan."""
+    from hop_tpu.ops import gru as gru_mod
+
+    def with_dev(kind, platform="tpu"):
+        monkeypatch.setattr(gru_mod.jax, "devices",
+                            lambda: [_FakeDev(kind, platform)])
+
+    with_dev("TPU v5 lite")
+    monkeypatch.setenv("HOP_TPU_PALLAS_GRU", "auto")
+    assert gru_mod._pallas_gru_enabled() == "fused"
+    monkeypatch.delenv("HOP_TPU_PALLAS_GRU")
+    assert gru_mod._pallas_gru_enabled() == "fused"    # unset == auto
+
+    with_dev("TPU v4")
+    assert gru_mod._pallas_gru_enabled() == "stack"    # auto falls back
+    monkeypatch.setenv("HOP_TPU_PALLAS_GRU", "fused")
+    assert gru_mod._pallas_gru_enabled() == "fused"    # explicit force
+    monkeypatch.setenv("HOP_TPU_PALLAS_GRU", "1")
+    assert gru_mod._pallas_gru_enabled() == "stack"
+    monkeypatch.setenv("HOP_TPU_PALLAS_GRU", "0")
+    assert gru_mod._pallas_gru_enabled() is False
+
+    with_dev("cpu-0", platform="cpu")
+    monkeypatch.setenv("HOP_TPU_PALLAS_GRU", "auto")
+    assert gru_mod._pallas_gru_enabled() is False
