@@ -110,6 +110,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "truncated to --llm-layers")
     p.add_argument("--llm-layers", type=int, default=None,
                    help="backbone depth (reference --llm_layers, default 6)")
+    p.add_argument("--llm-weights", default=None,
+                   help="pretrained weights for the frozen backbone: an HF "
+                        "checkpoint directory (config.json + "
+                        "model.safetensors / pytorch_model.bin) or a bare "
+                        "state-dict file. The reference's live path loads "
+                        "pretrained BERT/LLaMA (run_ted.py:176-212, "
+                        ":133-175); default is random init, honestly "
+                        "labelled. Geometry and --hf-vocab consistency are "
+                        "checked before training (models/llm_weights.py)")
     p.add_argument("--warmup-epochs", type=int, default=None,
                    help="generator-only epochs before the GAN phase starts "
                         "(the reference hardcodes the gate `epoch > 10`, "
@@ -199,7 +208,21 @@ def restore_hop_model(cfg: Config, checkpoint_dir: str,
             f"checkpoint in {checkpoint_dir} is not a HOP generator "
             f"checkpoint (state keys: {sorted(state)}); train with "
             "--model AD_LLM to produce one")
-    # the frozen LLM is stripped from checkpoints; take it from the init
+    # the frozen LLM is stripped from checkpoints; take it from the init,
+    # or — when the run was trained with --llm-weights — reload the
+    # pretrained backbone the checkpoint actually saw (its path is in the
+    # run metadata; a random-init backbone would silently change every
+    # generated gesture)
+    llm_weights = meta.get("llm_weights")
+    if llm_weights:
+        if not os.path.exists(llm_weights):
+            raise SystemExit(
+                f"checkpoint was trained with --llm-weights {llm_weights}, "
+                "which no longer exists; restore it (or copy the HF "
+                "checkpoint back to that path) before inference")
+        from hop_tpu.models.llm_weights import install_llm_params
+        variables = install_llm_params(variables, llm_weights, cfg.llm)
+        print(f"reloaded pretrained backbone from {llm_weights}")
     params = dict(state["gen_params"])
     params.setdefault("llm", variables["params"]["llm"])
     variables = {"params": params, "batch_stats": state["gen_stats"]}

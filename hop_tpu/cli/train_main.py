@@ -52,6 +52,13 @@ def build_model_and_steps(cfg: Config, args, lang, n_speakers: int,
             rngs, *a, rng=jax.random.PRNGKey(1), train=True))(
             b["in_audio"], b["log_mel"], b["text_padded"],
             b["target_vec"][:, :cfg.data.n_seed_frames], b["vid_indices"])
+        if getattr(args, "llm_weights", None):
+            from hop_tpu.models.llm_weights import install_llm_params
+            gen_vars = install_llm_params(
+                gen_vars, args.llm_weights, cfg.llm,
+                getattr(args, "hf_vocab", None))
+            print(f"loaded pretrained {cfg.llm.model} backbone from "
+                  f"{args.llm_weights}")
         n_trainable = sum(
             int(np.prod(np.shape(x)))
             for path, x in jax.tree_util.tree_leaves_with_path(
@@ -292,7 +299,8 @@ def train_main(cfg: Config, args) -> float:
     ckpt.metadata = {"model": args.model, "dataset": cfg.data.dataset,
                      "n_speakers": n_speakers, "n_words": lang.n_words,
                      "llm_model": cfg.llm.model,
-                     "llm_layers": cfg.llm.n_layers}
+                     "llm_layers": cfg.llm.n_layers,
+                     "llm_weights": getattr(args, "llm_weights", None)}
 
     start_epoch, best_fgd = 0, float("inf")
     if getattr(args, "resume", False) and ckpt.latest_step() is not None:

@@ -71,6 +71,25 @@ class EpochStep:
         return self._epoch0 if epoch == 0 else self._steady
 
 
+def _div_diagnostics(div_raw, pose_l1, z_l1, out, mu, logvar, loss_cfg):
+    """Observability scalars for the diversity regulariser (all
+    stop_gradient-ed, loss-neutral). Added to root-cause the expressive
+    fused seed-2023 high-diversity regime (VERDICT r4 weak #1): the raw
+    (pre-clamp) ratio, the fraction of samples saturating the clamp
+    (where the regulariser's gradient vanishes), its numerator/denominator,
+    and the magnitudes of the generator output and the speaker posterior."""
+    sg = jax.lax.stop_gradient
+    return {
+        "div_raw": sg(div_raw).mean(),
+        "div_clamp_frac": (sg(div_raw) <= loss_cfg.div_clamp).mean(),
+        "div_pose_l1": sg(pose_l1).mean(),
+        "div_z_l1": sg(z_l1).mean(),
+        "out_abs": jnp.abs(sg(out)).mean(),
+        "mu_abs": jnp.abs(sg(mu)).mean(),
+        "logvar_mean": sg(logvar).mean(),
+    }
+
+
 def _dis_apply(model, params, stats, poses, text, rng, train=True):
     variables = {"params": params, "batch_stats": stats}
     score, updates = model.apply(
@@ -118,8 +137,8 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
         pose_l1 = pose_l1.sum(axis=(1, 2))
         z_l1 = jnp.mean(jnp.abs(jax.lax.stop_gradient(z)
                                 - jax.lax.stop_gradient(z_rand)), axis=-1)
-        div_reg = -(pose_l1 / (z_l1 + 1e-5))
-        div_reg = jnp.clip(div_reg, loss_cfg.div_clamp, None).mean()
+        div_raw = -(pose_l1 / (z_l1 + 1e-5))
+        div_reg = jnp.clip(div_raw, loss_cfg.div_clamp, None).mean()
 
         kld = kld_loss(mu, logvar)
 
@@ -128,7 +147,9 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
                 + kld * loss_cfg.kld_weight)
         metrics = {"loss": h * loss_cfg.regression_weight,
                    "KLD": kld * loss_cfg.kld_weight,
-                   "DIV_REG": div_reg * loss_cfg.reg_weight}
+                   "DIV_REG": div_reg * loss_cfg.reg_weight,
+                   **_div_diagnostics(div_raw, pose_l1, z_l1, out, mu,
+                                      logvar, loss_cfg)}
 
         new_dis_stats = dis_stats
         if use_gan:
@@ -202,15 +223,17 @@ def make_hop_train_steps(cfg: Config, model, discriminator):
                    ).sum(axis=(1, 2))
         z_l1 = jnp.mean(jnp.abs(jax.lax.stop_gradient(z)
                                 - jax.lax.stop_gradient(z_rand)), axis=-1)
-        div_reg = jnp.clip(-(pose_l1 / (z_l1 + 1e-5)),
-                           loss_cfg.div_clamp, None).mean()
+        div_raw = -(pose_l1 / (z_l1 + 1e-5))
+        div_reg = jnp.clip(div_raw, loss_cfg.div_clamp, None).mean()
         kld = kld_loss(mu, logvar)
         loss = (h * loss_cfg.regression_weight
                 + div_reg * loss_cfg.reg_weight
                 + kld * loss_cfg.kld_weight)
         metrics = {"loss": h * loss_cfg.regression_weight,
                    "KLD": kld * loss_cfg.kld_weight,
-                   "DIV_REG": div_reg * loss_cfg.reg_weight}
+                   "DIV_REG": div_reg * loss_cfg.reg_weight,
+                   **_div_diagnostics(div_raw, pose_l1, z_l1, out, mu,
+                                      logvar, loss_cfg)}
 
         if use_gan:
             # G term against the (frozen) current discriminator
