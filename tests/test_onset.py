@@ -16,7 +16,7 @@ def _np_onset_strength(y, sr=16000, hop=512, n_fft=2048, n_mels=128):
     for t in range(n_frames):
         fr = yp[t * hop: t * hop + n_fft] * window
         spec[t] = np.abs(np.fft.rfft(fr)) ** 2
-    fb = M.mel_filterbank(sr, n_fft, n_mels)
+    fb = M.mel_filterbank(sr, n_fft, n_mels, fmax=O.ONSET_FMAX)
     s = spec @ fb.T
     s_db = 10 * np.log10(np.maximum(1e-10, s))
     s_db = np.maximum(s_db, s_db.max() - 80.0)
