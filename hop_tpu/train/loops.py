@@ -27,6 +27,18 @@ from hop_tpu.utils.meters import AverageMeter
 METER_NAMES = ("loss", "var_loss", "gen", "dis", "KLD", "DIV_REG",
                "c_pos", "c_neg", "phy")
 
+# Degenerate-minimum guard for best-checkpoint selection (round 5):
+# an FGD improvement whose eval diversity is this many times the median
+# of the run's prior epochs is refused as "best" (still saved on the
+# periodic schedule). Motivated by the expressive fused seed-2023 run
+# (benchmarks/FUSED_MULTISEED_EXPRESSIVE.json): its min-FGD epoch
+# (FGD 407) sat at diversity 294 vs a 16.8 run median — the reference's
+# bare save-on-best criterion (run_ted.py:454-462) would have shipped a
+# degenerate model. Active for the fused default; --parity-step keeps
+# the reference's exact criterion.
+BEST_GUARD_DIV_RATIO = 10.0
+BEST_GUARD_MIN_HISTORY = 4
+
 
 def prefetch_iter(it: Iterable, depth: int):
     """Run ``it`` on a background thread, keeping up to ``depth`` items
@@ -143,6 +155,10 @@ def run_training(cfg: Config,
     epochs = epochs or cfg.train.epochs
     meters = {n: AverageMeter(n) for n in METER_NAMES}
     writer = MetricWriter(metric_path, tensorboard_dir)
+    # best-checkpoint degeneracy guard: fused-step runs only (the parity
+    # step mirrors the reference's bare criterion, run_ted.py:454-462)
+    guard_best = bool(getattr(cfg.hop, "fused_step", False))
+    div_history: list = []
     iter_count = 0
     time_now = time.time()
     # --profile-dir: capture a jax.profiler device trace of steps 2-5 of
@@ -234,21 +250,41 @@ def run_training(cfg: Config,
             writer.scalar("loss/val", result.loss, epoch)
 
             improved = result.frechet_dist < best_fgd
+            degenerate = False
+            if improved and guard_best and \
+                    len(div_history) >= BEST_GUARD_MIN_HISTORY:
+                med = float(np.median(div_history))
+                if med > 0 and result.diversity > BEST_GUARD_DIV_RATIO * med:
+                    degenerate = True
+                    improved = False
+                    print(f"  !!! best-FGD candidate REFUSED: diversity "
+                          f"{result.diversity:.2f} is "
+                          f"{result.diversity / med:.1f}x the run median "
+                          f"{med:.3f} — a degenerate high-diversity "
+                          f"minimum, not a converged gesture mode "
+                          f"(BASELINE.md round-5 mechanism study); "
+                          f"checkpoint still saved on the periodic "
+                          f"schedule, best-FGD unchanged")
+                    writer.scalar("best_guard_refused/val",
+                                  result.frechet_dist, epoch)
+            div_history.append(result.diversity)
             if checkpoint_manager is not None and (
-                    improved or (epoch + 1) % checkpoint_every == 0
+                    improved or degenerate
+                    or (epoch + 1) % checkpoint_every == 0
                     or epoch == epochs - 1):
                 from hop_tpu.utils.checkpoint import strip_frozen
                 to_save, _ = strip_frozen(state)
                 checkpoint_manager.save(epoch, to_save, metadata={
                     "fgd": result.frechet_dist, "bc": result.bc,
                     "epoch": epoch,
-                    "best_fgd": min(best_fgd, result.frechet_dist)})
+                    "best_fgd": (best_fgd if degenerate else
+                                 min(best_fgd, result.frechet_dist))})
                 if improved:
                     checkpoint_manager.record_best(
                         "frechet", result.frechet_dist, epoch)
                     print("Saved the checkpoint (best FGD "
                           f"{result.frechet_dist:.3f})")
-            if result.frechet_dist < best_fgd:
+            if improved:
                 best_fgd = result.frechet_dist
             print(f"  *** BEST VALIDATION FGD: {best_fgd:.3f}")
 
