@@ -28,15 +28,18 @@ def main(argv=None):
     p.add_argument("--batch-sizes", type=int, nargs="+",
                    default=[1, 16, 256])
     p.add_argument("--iters", type=int, default=15)
+    p.add_argument("--dataset", default="TED", choices=("TED", "expressive"),
+                   help="expressive = run_expressive.py's config (pose_dim "
+                        "126, 42 graph nodes; VERDICT r4 item 7)")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
-    from hop_tpu.config import ted_config
+    from hop_tpu.config import expressive_config, ted_config
     from hop_tpu.data import synthetic
     from hop_tpu.models.hop import HOPModel
 
-    cfg = ted_config()
+    cfg = ted_config() if args.dataset == "TED" else expressive_config()
     model = HOPModel(cfg, n_speakers=10)
     results = []
 
@@ -89,6 +92,7 @@ def main(argv=None):
         print(json.dumps(results[-1]))
 
     print(json.dumps({"metric": "hop_generation_throughput",
+                      "dataset": args.dataset,
                       "platform": jax.devices()[0].platform,
                       "results": results}))
     return 0

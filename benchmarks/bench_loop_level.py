@@ -37,7 +37,9 @@ sys.path.insert(0, REPO)
 
 
 def run_cli(a):
-    cmd = [sys.executable, "-u", "-m", "hop_tpu.cli.run_ted",
+    cli = ("hop_tpu.cli.run_ted" if a.dataset == "TED"
+           else "hop_tpu.cli.run_expressive")
+    cmd = [sys.executable, "-u", "-m", cli,
            "--model", a.model, "--epochs", str(a.epochs),
            "--batch-size", str(a.batch_size),
            "--data", os.path.join(a.data, "train"),
@@ -86,9 +88,9 @@ def measure_phases(a, steps_per_epoch):
     import numpy as np
 
     from hop_tpu.cli import common as C
-    from hop_tpu.config import ted_config
+    from hop_tpu.config import expressive_config, ted_config
 
-    cfg = ted_config()
+    cfg = ted_config() if a.dataset == "TED" else expressive_config()
     if a.audio_wire:
         import dataclasses
         cfg = cfg.replace(data=dataclasses.replace(
@@ -146,6 +148,11 @@ def main():
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--model", default="AD_LLM")
+    p.add_argument("--dataset", default="TED", choices=("TED", "expressive"),
+                   help="expressive = run_expressive.py at pose_dim 126 / "
+                        "42 graph nodes on an expressive corpus "
+                        "(gen_synth_corpus.py --dataset expressive); "
+                        "VERDICT r4 item 7")
     p.add_argument("--eval-net", default=None)
     p.add_argument("--audio-wire", default=None, choices=("f32", "int16"),
                    help="pass through to run_ted: int16 halves the "
@@ -180,7 +187,9 @@ def main():
     loop_s_iter = (sum(steady_epochs) / len(steady_epochs)
                    / steps_per_epoch)
     result = {
-        "metric": f"loop_level_{a.model}_bs{a.batch_size}",
+        "metric": f"loop_level_{a.model}_bs{a.batch_size}"
+                  + ("" if a.dataset == "TED" else "_expressive"),
+        "dataset": a.dataset,
         "train_samples": n_train,
         "steps_per_epoch": steps_per_epoch,
         "epochs": a.epochs,
