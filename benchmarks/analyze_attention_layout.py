@@ -79,12 +79,13 @@ def attention_shape_patterns(B: int, H: int = 12, T: int = 34, D: int = 64):
     return re.compile("|".join(pats))
 
 
+# HLO layouts carry tiling/memory-space annotations, e.g.
+# bf16[256,34,12,64]{3,1,2,0:T(8,128)(2,1)S(1)} — match any brace body
 TRANSPOSE_RE = re.compile(
-    r"^\s*(?P<name>[%\w.\-]+)\s*=\s*(?P<shape>\w+\[[\d,]*\](?:{[\d,]*})?)"
-    r"\s*(?P<op>transpose|copy|bitcast-convert|reshape)\(", re.M)
-FUSION_RE = re.compile(
-    r"^\s*(?P<name>[%\w.\-]+)\s*=\s*(?P<shape>\w+\[[\d,]*\](?:{[\d,]*})?)"
-    r"\s*fusion\(", re.M)
+    r"^\s*(?:ROOT\s+)?(?P<name>[%\w.\-]+)\s*=\s*"
+    r"(?P<shape>\w+\[[\d,]*\](?:\{[^}]*\})?)"
+    r"\s*(?P<op>transpose|copy|bitcast|bitcast-convert|reshape|fusion)\(",
+    re.M)
 
 
 def analyze_hlo(text: str, shape_pat: re.Pattern):
@@ -99,9 +100,9 @@ def analyze_hlo(text: str, shape_pat: re.Pattern):
         if not shape_pat.search(shape):
             continue
         op = m.group("op")
-        per_op[f"{op} {shape}"] += 1
+        per_op[f"{op} {shape.split('{')[0]}"] += 1
         dm = re.match(r"(\w+)\[([\d,]*)\]", shape)
-        if dm:
+        if dm and op in ("transpose", "copy"):
             n = 1
             for d in dm.group(2).split(","):
                 if d:
@@ -122,18 +123,24 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--dump-hlo", default=None,
                    help="also write the full optimized HLO text here")
+    p.add_argument("--hlo-in", default=None,
+                   help="analyze an existing HLO dump instead of "
+                        "compiling (no TPU needed)")
     args = p.parse_args(argv)
 
-    import jax
-
-    gan_step, state, b, key = build_step(args.dataset, args.batch_size)
-    print("lowering + compiling the fused GAN step ...", flush=True)
-    compiled = jax.jit(gan_step).lower(state, b, key).compile()
-    text = compiled.as_text()
-    print(f"optimized HLO: {len(text) / 1e6:.1f} MB", flush=True)
-    if args.dump_hlo:
-        with open(args.dump_hlo, "w") as f:
-            f.write(text)
+    if args.hlo_in:
+        with open(args.hlo_in) as f:
+            text = f.read()
+    else:
+        import jax
+        gan_step, state, b, key = build_step(args.dataset, args.batch_size)
+        print("lowering + compiling the fused GAN step ...", flush=True)
+        compiled = jax.jit(gan_step).lower(state, b, key).compile()
+        text = compiled.as_text()
+        print(f"optimized HLO: {len(text) / 1e6:.1f} MB", flush=True)
+        if args.dump_hlo:
+            with open(args.dump_hlo, "w") as f:
+                f.write(text)
 
     pat = attention_shape_patterns(args.batch_size)
     per_op, bytes_moved, examples = analyze_hlo(text, pat)
